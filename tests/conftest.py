@@ -5,12 +5,18 @@ Must set XLA flags before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must
+# run on the virtual 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

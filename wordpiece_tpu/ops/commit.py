@@ -1,0 +1,97 @@
+"""Greedy commit: turn per-position matches into the emitted id stream.
+
+The reference's worker loop (src/fast.cpp:43-99) walks positions
+sequentially: match -> advance by the match length; fail -> whole-word UNK
+rollback and skip to the next word boundary.  The walk is *memoryless*
+forward (the next position depends only on the current position), so the
+whole chunk is the orbit of a deterministic step function
+
+    F(i) = ss[i + len_i]                    if position i matched
+    F(i) = ss[wnext[min(i + window_i, n)]]  if position i failed
+
+(`ss` skips spaces, `wnext` skips to the next word-prefix position; both
+have sentinel n).  The rollback is segment-local: tokens are discarded
+back to the last visited word-prefix position (tokens_since_prefix in the
+reference), and a failing position always terminates its segment.
+
+This module computes, fully in parallel:
+ 1. visited = orbit of F from the first non-space position, via pointer
+    doubling (log2(n) gather/scatter rounds);
+ 2. segments = runs of visited positions between visited word-prefix
+    positions; a segment containing a failed position emits a single UNK
+    at its start and suppresses its other emissions;
+ 3. the compacted id stream (capacity n + count), via cumsum + scatter.
+
+No sequential host code; identical output to the oracle by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def commit(
+    best_id: jax.Array,  # int32[n], -1 where no match
+    best_len: jax.Array,  # int32[n], 0 where no match
+    feats,  # TextFeatures
+    n_valid: jax.Array,
+    *,
+    unk_id: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (ids int32[n] padded with -2 beyond count, count int32)."""
+    n = best_id.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    nn = jnp.int32(n)
+
+    matched = best_len > 0
+    land = jnp.minimum(pos + best_len, nn)
+    fail_j = jnp.minimum(pos + feats.window, nn)
+    # On failure: advance past the probe window, skip to the next
+    # word-prefix position, then skip spaces (src/fast.cpp:84-95).
+    step = jnp.where(matched, feats.ss[land], feats.ss[feats.wnext[fail_j]])
+
+    # Seed: skip leading spaces (src/fast.cpp:47-49).
+    seed = feats.ss[0]
+
+    # Pointer doubling over the total step function F (sentinel n).
+    visited = (pos == seed) & (seed < nn)
+    jump = step  # int32[n], values in [0, n]
+
+    def round_fn(_, carry):
+        visited, jump = carry
+        scat = (
+            jnp.zeros((n + 1,), dtype=jnp.int32)
+            .at[jnp.where(visited, jump, nn)]
+            .max(visited.astype(jnp.int32))
+        )
+        visited = visited | (scat[:n] > 0)
+        jump_ext = jnp.concatenate([jump, jnp.array([n], dtype=jnp.int32)])
+        jump = jump_ext[jump]
+        return visited, jump
+
+    n_rounds = max(1, (n - 1).bit_length())
+    visited, jump = jax.lax.fori_loop(0, n_rounds, round_fn, (visited, jump))
+
+    # Segments: visited word-prefix positions start segments.
+    seg_start = visited & feats.wp
+    seg_id = jnp.cumsum(seg_start.astype(jnp.int32))  # inclusive; >=1 on visited
+    failed_here = visited & ~matched
+    seg_killed_tab = (
+        jnp.zeros((n + 2,), dtype=jnp.int32)
+        .at[jnp.where(failed_here, seg_id, nn + 1)]
+        .max(failed_here.astype(jnp.int32))
+    )
+    killed = seg_killed_tab[seg_id] > 0
+
+    emit = visited & ((matched & ~killed) | (seg_start & killed))
+    emit_val = jnp.where(killed, jnp.int32(unk_id), best_id)
+
+    out_idx = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    count = jnp.where(emit.any(), out_idx[-1] + 1, 0)
+    ids = (
+        jnp.full((n,), -2, dtype=jnp.int32)
+        .at[jnp.where(emit, out_idx, nn)]
+        .set(emit_val, mode="drop")
+    )
+    return ids, count
