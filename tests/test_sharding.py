@@ -1,0 +1,63 @@
+"""Data-parallel sharding tests on the virtual 8-device CPU mesh.
+
+Asserts the invariant the reference enforces with space-snapped chunks
+(src/fast.cpp:101-138): the concatenation of per-shard id streams equals
+the single-shard result, for any shard count.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from wordpiece_tpu.core import unicode as uni
+from wordpiece_tpu.core.oracle import encode_oracle
+from wordpiece_tpu.core.vocab import parse_vocab
+from wordpiece_tpu.parallel.sharding import (
+    ShardedFastEncoder,
+    make_mesh,
+    shard_codepoints,
+    split_whitespace_safe,
+)
+
+
+def test_split_whitespace_safe_boundaries():
+    text = "aaa bbb ccc ddd eee fff ggg hhh"
+    cps = uni.decode_utf8(text.encode()).astype(np.int32)
+    space = np.asarray(uni.is_space(cps.astype(np.uint32)))
+    starts, ends = split_whitespace_safe(cps, space, 4)
+    assert starts[0] == 0 and ends[-1] == len(cps)
+    for s, e in zip(starts[1:], ends[:-1]):
+        assert s == e
+    for e in ends[:-1]:
+        if e < len(cps):
+            assert space[e]  # boundary lands on a space
+
+
+def test_split_long_spaceless_run():
+    cps = uni.decode_utf8(b"x" * 100).astype(np.int32)
+    space = np.asarray(uni.is_space(cps.astype(np.uint32)))
+    starts, ends = split_whitespace_safe(cps, space, 4)
+    # No space anywhere: first chunk takes everything.
+    assert ends[0] == 100 and all(s == e for s, e in zip(starts[1:], ends[1:]))
+
+
+@pytest.mark.parametrize("n_shards", [1, 2, 5, 8])
+def test_sharded_equals_oracle(n_shards):
+    rng = np.random.default_rng(11)
+    words = ["".join(rng.choice(list("abcdef"), size=int(rng.integers(1, 9)))) for _ in range(80)]
+    text = " ".join(rng.choice(words) for _ in range(600))
+    vocab_lines = sorted(
+        {w[:2] for w in words} | {"##" + w[2:] for w in words if len(w) > 2} | {"##" + c for c in "abcdef"} | set("abcdef")
+    )
+    vocab = parse_vocab(vocab_lines)
+    cps = uni.decode_utf8(text.encode()).astype(np.int32)
+
+    mesh = make_mesh(n_shards, devices=jax.devices()[:n_shards])
+    enc = ShardedFastEncoder(vocab, mesh=mesh)
+    got = enc.encode_codepoints(cps).tolist()
+    want = encode_oracle(cps, vocab)
+    assert got == want
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8

@@ -1,0 +1,168 @@
+"""Public API: the TPU-native counterpart of the reference's word_piece.hpp.
+
+Reference surface (src/word_piece.hpp:1-38):
+  word_piece::fast::encode(text, vocab) / encode(text_file, vocab_file)
+  word_piece::fast::decode(vocab_file, ids)
+  word_piece::fast::encodeExternal(text_file, vocab_file, out_file, limit)
+  word_piece::linear::{encode, encodeExternal}
+
+Here both engines share one encode path; `fast` uses the rolling-hash
+match kernel and `linear` the suffix-array match kernel.  Output id
+streams are identical (the reference asserts this too, tests.cpp:90-97).
+
+Encoder instances cache the compiled program and the replicated vocab
+index; the module-level helpers mirror the reference's one-shot calls.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from .core import unicode as uni
+from .core.oracle import encode_oracle
+from .core.vocab import Vocabulary, parse_vocab, read_vocab_file
+from .engine import FastEncoder
+
+_ENCODER_CACHE: dict[int, object] = {}
+
+
+def _as_vocab(vocab: Sequence[str] | Vocabulary | str) -> Vocabulary:
+    if isinstance(vocab, Vocabulary):
+        return vocab
+    if isinstance(vocab, str):
+        return read_vocab_file(vocab)
+    return parse_vocab(list(vocab))
+
+
+def _text_codepoints(text: str | bytes) -> np.ndarray:
+    raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+    return uni.decode_utf8(raw).astype(np.int32)
+
+
+def _read_text(text_file: str) -> bytes:
+    with open(text_file, "rb") as f:
+        return f.read()
+
+
+def write_ids_file(path: str, ids: Iterable[int]) -> None:
+    """writeToFile (src/utils.cpp:30-35): ids as 'id ' text."""
+    with open(path, "w") as f:
+        for i in ids:
+            f.write(f"{int(i)} ")
+
+
+class _EngineNamespace:
+    """Shared implementation for the fast/linear namespaces."""
+
+    def __init__(self, engine_name: str):
+        self._engine_name = engine_name
+
+    def _encoder(self, vocab: Vocabulary):
+        key = (self._engine_name, id(vocab))
+        enc = _ENCODER_CACHE.get(key)
+        if enc is None:
+            enc = make_encoder(vocab, engine=self._engine_name)
+            _ENCODER_CACHE[key] = enc
+        return enc
+
+    def encode(self, text: str | bytes, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
+        """encode(text, vocab) / encode(text_file, vocab_file).
+
+        Like the reference, if `text` names an existing file it is read
+        (the reference has separate overloads; Python dispatches on
+        whether the path exists).
+        """
+        if isinstance(text, str) and os.path.exists(text):
+            raw: bytes = _read_text(text)
+        else:
+            raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        v = _as_vocab(vocab)
+        enc = self._encoder(v)
+        return enc.encode_codepoints(uni.decode_utf8(raw).astype(np.int32)).tolist()
+
+    def encode_external(
+        self,
+        text_file: str,
+        vocab_file: str | Vocabulary,
+        out_file: str,
+        memory_limit: int,
+    ) -> None:
+        """Out-of-core batch loop (src/fast.cpp:189-220, linear /20 variant).
+
+        Batches are extended so that each ends on a space character,
+        guaranteeing no token crosses a batch boundary
+        (starts_with_space check, src/fast.cpp:205-207).
+        """
+        v = _as_vocab(vocab_file)
+        enc = self._encoder(v)
+        max_batch = max(memory_limit // 2, 1)
+        with open(text_file, "rb") as f:
+            data = f.read()
+        size = len(data)
+        begin = 0
+        with open(out_file, "w") as fout:
+            while begin < size:
+                remaining = size - begin
+                if remaining > max_batch:
+                    batch = max_batch
+                    while batch < remaining and not uni.starts_with_space(
+                        data[begin + batch - 1 : begin + batch + 3]
+                    ):
+                        batch += 1
+                else:
+                    batch = remaining
+                cps = uni.decode_utf8(data[begin : begin + batch]).astype(np.int32)
+                ids = enc.encode_codepoints(cps)
+                for i in ids.tolist():
+                    fout.write(f"{i} ")
+                begin += batch
+
+    def decode(self, vocab_file: str | Vocabulary, ids: Sequence[int]) -> list[str]:
+        """ids -> token strings (src/fast.cpp:165-187).
+
+        Suffix tokens are re-prefixed with "##"; out-of-range and
+        malformed ids are skipped with a warning (the reference's
+        bounds check has an off-by-one, `> size` at src/fast.cpp:171,
+        which we correct to `>=`).
+        """
+        import sys
+
+        v = _as_vocab(vocab_file)
+        out: list[str] = []
+        for i in ids:
+            i = int(i)
+            if i < 0 or i >= v.size:
+                print(f"no token {i}", file=sys.stderr)
+                continue
+            if v.is_malformed[i]:
+                print("trying to access malformed token", file=sys.stderr)
+                continue
+            s = uni.encode_utf8(v.words[i]).decode("utf-8", errors="replace")
+            out.append(s if v.is_prefix[i] else "##" + s)
+        return out
+
+
+def make_encoder(vocab: Vocabulary, engine: str = "fast"):
+    if engine == "fast":
+        return FastEncoder(vocab)
+    if engine == "linear":
+        from .engine_linear import LinearEncoder
+
+        return LinearEncoder(vocab)
+    if engine == "oracle":
+        class _OracleEncoder:
+            def __init__(self, v):
+                self.vocab = v
+
+            def encode_codepoints(self, cps):
+                return np.asarray(encode_oracle(cps, self.vocab), dtype=np.int32)
+
+        return _OracleEncoder(vocab)
+    raise ValueError(f"unknown engine: {engine}")
+
+
+fast = _EngineNamespace("fast")
+linear = _EngineNamespace("linear")
