@@ -140,7 +140,7 @@ class _EngineNamespace:
             if v.is_malformed[i]:
                 print("trying to access malformed token", file=sys.stderr)
                 continue
-            s = uni.encode_utf8(v.words[i]).decode("utf-8", errors="replace")
+            s = uni.encode_utf8(v.word(i)).decode("utf-8", errors="replace")
             out.append(s if v.is_prefix[i] else "##" + s)
         return out
 

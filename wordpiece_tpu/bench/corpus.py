@@ -1,0 +1,124 @@
+"""Deterministic synthetic corpora + WordPiece-style vocab for benchmarks.
+
+The reference benchmarks on linguatools Wikipedia dumps with the
+bert-base-cased vocab (tests/speed_test.py:126-151); this environment has
+no network, so we synthesize a statistically similar workload: Zipfian
+word frequencies, bert-like word-length distribution, punctuation and
+multilingual segments, and a 30k-entry WordPiece vocab built greedily
+from corpus substrings (prefix + ## continuation pieces).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections import Counter
+
+import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".bench_cache")
+
+
+def _cache_path(name: str) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    return os.path.join(CACHE_DIR, name)
+
+
+def make_word_list(rng: np.random.Generator, n_words: int = 20000) -> list[str]:
+    letters = np.array(list("etaoinshrdlcumwfgypbvkjxqz"))
+    # Roughly English letter frequencies.
+    freq = np.array([12.7, 9.1, 8.2, 7.5, 7.0, 6.7, 6.3, 6.1, 6.0, 4.3, 4.0, 2.8, 2.8, 2.4,
+                     2.4, 2.2, 2.0, 2.0, 1.9, 1.5, 1.0, 0.8, 0.2, 0.15, 0.1, 0.07])
+    p = freq / freq.sum()
+    lens = np.clip(rng.poisson(4.7, size=n_words) + 1, 1, 16)
+    return ["".join(rng.choice(letters, size=l, p=p)) for l in lens]
+
+
+def make_corpus(size_bytes: int, seed: int = 17, lang: str = "en") -> bytes:
+    """Deterministic pseudo-natural corpus of ~size_bytes."""
+    key = f"corpus_{lang}_{size_bytes}_{seed}.txt"
+    path = _cache_path(key)
+    if os.path.exists(path) and os.path.getsize(path) == size_bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    rng = np.random.default_rng(seed)
+    words = make_word_list(rng)
+    n = len(words)
+    # Zipf ranks.
+    ranks = np.arange(1, n + 1)
+    p = 1.0 / ranks
+    p /= p.sum()
+
+    extra: list[str] = []
+    if lang == "ru":
+        letters = np.array(list("оеаинтсрвлкмдпуяызбгчйхжшюцщэфъё"))
+        extra = ["".join(rng.choice(letters, size=int(l))) for l in np.clip(rng.poisson(5.2, 4000) + 1, 1, 14)]
+    elif lang == "zh":
+        cps = rng.integers(0x4E00, 0x9FFF, size=4000)
+        extra = [chr(int(c)) for c in cps]
+    elif lang == "ja":
+        kana = [chr(int(c)) for c in rng.integers(0x3041, 0x30F6, size=2000)]
+        kanji = [chr(int(c)) for c in rng.integers(0x4E00, 0x9FFF, size=2000)]
+        extra = kana + kanji
+
+    parts: list[str] = []
+    total = 0
+    punct = [",", ".", "!", "?", ";", "-", ":"]
+    while total < size_bytes + 1024:
+        k = int(rng.integers(8, 18))
+        sent = rng.choice(words, size=k, p=p).tolist()
+        if extra and rng.random() < (0.5 if lang != "en" else 0.0):
+            sent = [extra[int(rng.integers(0, len(extra)))] for _ in range(k)]
+        if rng.random() < 0.6:
+            pos = int(rng.integers(1, k))
+            sent.insert(pos, punct[int(rng.integers(0, len(punct)))])
+        s = " ".join(sent) + punct[int(rng.integers(0, 3))] + "\n"
+        parts.append(s)
+        total += len(s.encode("utf-8"))
+    data = "".join(parts).encode("utf-8")[:size_bytes]
+    # Don't cut mid-codepoint: trim trailing continuation bytes.
+    while data and (data[-1] & 0xC0) == 0x80:
+        data = data[:-1]
+    with open(path, "wb") as f:
+        f.write(data)
+    return data
+
+
+def make_vocab(corpus: bytes, vocab_size: int = 30000, seed: int = 17) -> list[str]:
+    """Greedy frequency-based WordPiece-style vocab from corpus substrings."""
+    key = f"vocab_{vocab_size}_{seed}_{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    path = _cache_path(key)
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            return f.read().splitlines()
+
+    text = corpus.decode("utf-8", errors="ignore")
+    words = Counter()
+    for line in text.splitlines()[:200000]:
+        for w in line.replace(",", " ").replace(".", " ").replace("!", " ").replace(
+            "?", " "
+        ).replace(";", " ").replace(":", " ").replace("-", " ").split():
+            words[w] += 1
+
+    pieces: Counter = Counter()
+    for w, c in words.items():
+        # Prefix pieces and continuation pieces, bert-style.
+        for l in range(1, min(len(w), 16) + 1):
+            pieces[w[:l]] += c
+        for st in range(1, len(w)):
+            for l in range(1, min(len(w) - st, 12) + 1):
+                pieces["##" + w[st : st + l]] += c / 4
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += [",", ".", "!", "?", ";", "-", ":"]
+    seen = set(vocab)
+    for piece, _c in pieces.most_common():
+        if piece not in seen:
+            vocab.append(piece)
+            seen.add(piece)
+        if len(vocab) >= vocab_size:
+            break
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab))
+    return vocab

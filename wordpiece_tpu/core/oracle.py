@@ -32,7 +32,7 @@ def encode_oracle(text_codepoints: np.ndarray, vocab: Vocabulary) -> list[int]:
     for i in range(vocab.size):
         if vocab.is_special[i] or vocab.is_malformed[i]:
             continue
-        w = tuple(int(c) for c in vocab.words[i])
+        w = tuple(int(c) for c in vocab.word(i))
         max_len = max(max_len, len(w))
         (prefix_to_id if vocab.is_prefix[i] else suffix_to_id)[w] = i
     max_len = min(max_len, n)

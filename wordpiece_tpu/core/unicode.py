@@ -109,12 +109,23 @@ def is_continuation_byte(b):
     return (b & 0xC0) == 0x80
 
 
-def decode_utf8(data: bytes | np.ndarray) -> np.ndarray:
+def decode_utf8(data: bytes | np.ndarray, *, native: bool = True) -> np.ndarray:
     """Decode a UTF-8 byte stream to a uint32 codepoint array.
 
     Invalid bytes are dropped (each consuming one byte), matching the
-    reference decoder (utf8.cpp:130-147).  Fully vectorized.
+    reference decoder (utf8.cpp:130-147).  Dispatches to the native host
+    runtime when available (same semantics, cross-checked by tests);
+    falls back to the fully vectorized numpy implementation below.
     """
+    if native and isinstance(data, (bytes, bytearray, memoryview)) and len(data) >= 4096:
+        try:
+            from ..runtime import loader
+
+            out = loader.decode_utf8(bytes(data))
+            if out is not None:
+                return out
+        except ImportError:  # pragma: no cover
+            pass
     if isinstance(data, (bytes, bytearray, memoryview)):
         b = np.frombuffer(bytes(data), dtype=np.uint8)
     else:
@@ -174,26 +185,48 @@ def decode_utf8(data: bytes | np.ndarray) -> np.ndarray:
     return cp[emit].astype(np.uint32)
 
 
-def encode_utf8(codepoints: np.ndarray) -> bytes:
-    """Codepoint array -> UTF-8 bytes (utf8.cpp:98-128 semantics)."""
+def encoded_utf8_length(codepoints: np.ndarray) -> int:
+    """Total UTF-8 byte length of a codepoint array (vectorized)."""
     cps = np.asarray(codepoints, dtype=np.uint32)
-    out = bytearray()
-    for x in cps.tolist():
-        if x <= 0x7F:
-            out.append(x)
-        elif x <= 0x7FF:
-            out.append(0xC0 | (x >> 6))
-            out.append(0x80 | (x & 0x3F))
-        elif x <= 0xFFFF:
-            out.append(0xE0 | (x >> 12))
-            out.append(0x80 | ((x >> 6) & 0x3F))
-            out.append(0x80 | (x & 0x3F))
-        else:
-            out.append(0xF0 | (x >> 18))
-            out.append(0x80 | ((x >> 12) & 0x3F))
-            out.append(0x80 | ((x >> 6) & 0x3F))
-            out.append(0x80 | (x & 0x3F))
-    return bytes(out)
+    return int(
+        cps.shape[0]
+        + np.count_nonzero(cps >= 0x80)
+        + np.count_nonzero(cps >= 0x800)
+        + np.count_nonzero(cps >= 0x10000)
+    )
+
+
+def encode_utf8(codepoints: np.ndarray) -> bytes:
+    """Codepoint array -> UTF-8 bytes (utf8.cpp:98-128 semantics).
+
+    Vectorized: computes per-codepoint byte offsets, then scatters the
+    lead/continuation bytes.
+    """
+    cps = np.asarray(codepoints, dtype=np.uint32)
+    n = cps.shape[0]
+    if n == 0:
+        return b""
+    nbytes = 1 + (cps >= 0x80).astype(np.int64) + (cps >= 0x800) + (cps >= 0x10000)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=offs[1:])
+    total = int(offs[-1] + nbytes[-1])
+    out = np.zeros(total, dtype=np.uint8)
+
+    one = nbytes == 1
+    two = nbytes == 2
+    three = nbytes == 3
+    four = nbytes == 4
+    out[offs[one]] = cps[one]
+    out[offs[two]] = 0xC0 | (cps[two] >> 6)
+    out[offs[two] + 1] = 0x80 | (cps[two] & 0x3F)
+    out[offs[three]] = 0xE0 | (cps[three] >> 12)
+    out[offs[three] + 1] = 0x80 | ((cps[three] >> 6) & 0x3F)
+    out[offs[three] + 2] = 0x80 | (cps[three] & 0x3F)
+    out[offs[four]] = 0xF0 | (cps[four] >> 18)
+    out[offs[four] + 1] = 0x80 | ((cps[four] >> 12) & 0x3F)
+    out[offs[four] + 2] = 0x80 | ((cps[four] >> 6) & 0x3F)
+    out[offs[four] + 3] = 0x80 | (cps[four] & 0x3F)
+    return out.tobytes()
 
 
 def starts_with_space(data: bytes) -> bool:

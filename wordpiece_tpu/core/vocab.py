@@ -34,10 +34,14 @@ from . import unicode as uni
 
 @dataclasses.dataclass
 class Vocabulary:
-    """Host-side vocabulary model (analogue of WordPieceVocabulary)."""
+    """Host-side vocabulary model (analogue of WordPieceVocabulary).
 
-    # Ragged token match strings as a list of uint32 arrays (stripped of ##).
-    words: list[np.ndarray]
+    Token match strings (with the ## marker stripped) are stored flat:
+    token i spans flat[offsets[i]:offsets[i+1]].
+    """
+
+    flat: np.ndarray  # uint32, concatenated match strings
+    offsets: np.ndarray  # int64[v+1]
     is_prefix: np.ndarray  # bool[v]
     is_special: np.ndarray  # bool[v]
     is_malformed: np.ndarray  # bool[v]
@@ -45,7 +49,21 @@ class Vocabulary:
 
     @property
     def size(self) -> int:
-        return len(self.words)
+        return self.offsets.shape[0] - 1
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+    @property
+    def words(self) -> list[np.ndarray]:
+        """Ragged view of the match strings (kept for convenience)."""
+        return [
+            self.flat[self.offsets[i] : self.offsets[i + 1]] for i in range(self.size)
+        ]
+
+    def word(self, i: int) -> np.ndarray:
+        return self.flat[self.offsets[i] : self.offsets[i + 1]]
 
     @property
     def active(self) -> np.ndarray:
@@ -55,54 +73,99 @@ class Vocabulary:
     @property
     def max_len(self) -> int:
         """Longest active token, in codepoints (src/fast.cpp:26-31)."""
-        lens = [w.shape[0] for w, a in zip(self.words, self.active) if a]
-        return max(lens) if lens else 0
+        lens = self.lengths[self.active]
+        return int(lens.max()) if lens.size else 0
+
+    def padded(self, width: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """(int32[v, width] codepoints padded with -1, int32[v] lengths)."""
+        lens = self.lengths.astype(np.int64)
+        width = int(width if width is not None else max(int(lens.max(initial=0)), 1))
+        col = np.arange(width, dtype=np.int64)[None, :]
+        idx = self.offsets[:-1, None] + col
+        mask = col < lens[:, None]
+        out = np.where(mask, self.flat[np.minimum(idx, max(self.flat.shape[0] - 1, 0))], np.uint32(0))
+        return np.where(mask, out, -1).astype(np.int32), lens.astype(np.int32)
 
 
 def parse_vocab(lines: Sequence[str | bytes]) -> Vocabulary:
-    """Parse vocabulary lines (parseVocab, src/utils.cpp:108-121)."""
-    words: list[np.ndarray] = []
-    is_prefix = np.ones(len(lines), dtype=bool)
-    is_special = np.zeros(len(lines), dtype=bool)
-    is_malformed = np.zeros(len(lines), dtype=bool)
-    unk_token_id = -1
+    """Parse vocabulary lines (parseVocab, src/utils.cpp:108-121).
 
-    for i, line in enumerate(lines):
-        raw = line.encode("utf-8") if isinstance(line, str) else bytes(line)
-        if raw == b"[UNK]":
-            unk_token_id = i
-        word = uni.decode_utf8(raw).astype(np.uint32)
-        malformed = _has_invalid_bytes(raw)
-        if word.shape[0] >= 2 and word[0] == uni.SHARP_SIGN and word[1] == uni.SHARP_SIGN:
-            is_prefix[i] = False
-            word = word[2:]
-        elif word.shape[0] > 2 and word[0] == ord("[") and word[-1] == ord("]"):
-            is_special[i] = True
-        if word.shape[0] == 0:
-            raise ValueError("Vocab word is empty")
-        all_punct = bool(np.all(uni.is_punctuation(word) | uni.is_space(word)))
-        if malformed or (all_punct and word.shape[0] > 1):
-            malformed = True
-        is_malformed[i] = malformed
-        words.append(word)
+    Fully vectorized: lines are joined with '\\n' (codepoint 10 can never
+    be produced by invalid-byte dropping, so it is a safe separator),
+    decoded once, and classified with array ops over the flat stream.
+    """
+    raws = [l.encode("utf-8") if isinstance(l, str) else bytes(l) for l in lines]
+    v = len(raws)
+    if v == 0:
+        return Vocabulary(
+            flat=np.zeros(0, np.uint32),
+            offsets=np.zeros(1, np.int64),
+            is_prefix=np.zeros(0, bool),
+            is_special=np.zeros(0, bool),
+            is_malformed=np.zeros(0, bool),
+        )
+    joined = b"\n".join(raws)
+    cps = uni.decode_utf8(joined).astype(np.uint32)
+
+    nl = np.nonzero(cps == 10)[0]
+    starts = np.concatenate([[0], nl + 1])
+    ends = np.concatenate([nl, [cps.shape[0]]])
+    if starts.shape[0] != v:  # pragma: no cover - separator is injective
+        raise ValueError("vocab line splitting failed")
+    lens = ends - starts
+
+    # Invalid-byte detection: a line is malformed when re-encoding its
+    # decoded codepoints yields fewer bytes than the raw line had
+    # (invalid bytes were dropped) — mirrors INVALID_UNICODE marking at
+    # src/utils.cpp:92-94.
+    enc_len = (
+        np.ones(cps.shape[0], dtype=np.int64)
+        + (cps >= 0x80)
+        + (cps >= 0x800)
+        + (cps >= 0x10000)
+    )
+    ecum = np.concatenate([[0], np.cumsum(enc_len)])
+    enc_lens = ecum[ends] - ecum[starts]
+    raw_lens = np.asarray([len(r) for r in raws], dtype=np.int64)
+    has_invalid = enc_lens != raw_lens
+
+    cps_safe = np.concatenate([cps, np.zeros(2, np.uint32)])  # safe sentinel reads
+    first = cps_safe[np.minimum(starts, cps.shape[0])]
+    second = cps_safe[np.minimum(starts + 1, cps.shape[0] + 1)]
+    last = cps_safe[np.maximum(ends - 1, 0)]
+    is_suffix = (lens >= 2) & (first == uni.SHARP_SIGN) & (second == uni.SHARP_SIGN)
+    is_special = ~is_suffix & (lens > 2) & (first == ord("[")) & (last == ord("]"))
+
+    woff = starts + 2 * is_suffix
+    wlen = lens - 2 * is_suffix
+    if (wlen == 0).any():
+        raise ValueError("Vocab word is empty")
+
+    punctish = (uni.is_punctuation(cps) | uni.is_space(cps)).astype(np.int64)
+    pcum = np.concatenate([[0], np.cumsum(punctish)])
+    all_punct = (pcum[woff + wlen] - pcum[woff]) == wlen
+    is_malformed = has_invalid | (all_punct & (wlen > 1))
+
+    # Flat match strings with separators removed and ## stripped.
+    keep = np.ones(cps.shape[0], dtype=bool)
+    keep[nl] = False
+    for k in (0, 1):
+        keep[np.minimum(starts[is_suffix] + k, cps.shape[0] - 1)] = False
+    flat = cps[keep]
+    offsets = np.zeros(v + 1, dtype=np.int64)
+    np.cumsum(wlen, out=offsets[1:])
+
+    unk_matches = np.nonzero([r == b"[UNK]" for r in raws])[0]
+    unk_token_id = int(unk_matches[-1]) if unk_matches.size else -1
 
     return Vocabulary(
-        words=words,
-        is_prefix=is_prefix,
+        flat=flat,
+        offsets=offsets,
+        is_prefix=~is_suffix,
         is_special=is_special,
         is_malformed=is_malformed,
         unk_token_id=unk_token_id,
     )
-
-
-def _has_invalid_bytes(raw: bytes) -> bool:
-    """True if the line contains invalid UTF-8 (dropped by decode).
-
-    The reference marks a token malformed when decode produced
-    INVALID_UNICODE codepoints (src/utils.cpp:92-94); since our decoder
-    drops them, detect by re-encoding length.
-    """
-    return len(uni.encode_utf8(uni.decode_utf8(raw))) != len(raw)
 
 
 def read_vocab_file(path: str) -> Vocabulary:
@@ -160,6 +223,23 @@ def _hash_pair(word: np.ndarray, m1: int, m2: int) -> tuple[int, int]:
     return int(h1), int(h2)
 
 
+def hash_all(vocab: Vocabulary, m1: int, m2: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling hashes of every token's match string, vectorized over the
+    padded (v, max_len) matrix; equals _hash_pair per token."""
+    padded, lens = vocab.padded()
+    h1 = np.zeros(vocab.size, dtype=np.uint32)
+    h2 = np.zeros(vocab.size, dtype=np.uint32)
+    mm1 = np.uint32(m1)
+    mm2 = np.uint32(m2)
+    with np.errstate(over="ignore"):
+        for j in range(padded.shape[1]):
+            c = padded[:, j].astype(np.uint32)
+            upd = j < lens
+            h1 = np.where(upd, h1 * mm1 + c, h1)
+            h2 = np.where(upd, h2 * mm2 + c, h2)
+    return h1, h2
+
+
 def build_index(vocab: Vocabulary, *, min_table_size: int = 1 << 10) -> VocabIndex:
     """Build the replicated probe table.
 
@@ -188,12 +268,10 @@ def build_index(vocab: Vocabulary, *, min_table_size: int = 1 << 10) -> VocabInd
         raise RuntimeError("could not build a collision-free vocab index")
 
     max_len = vocab.max_len
-    packed = np.full((vocab.size, max(max_len, 1)), -1, dtype=np.int32)
-    packed_len = np.zeros(vocab.size, dtype=np.int32)
-    for i in active_ids:
-        w = vocab.words[i]
-        packed[i, : w.shape[0]] = w.astype(np.int32)
-        packed_len[i] = w.shape[0]
+    padded, plens = vocab.padded(width=max(max_len, 1))
+    active_mask = vocab.active
+    packed = np.where(active_mask[:, None], padded[:, : max(max_len, 1)], -1)
+    packed_len = np.where(active_mask, plens, 0).astype(np.int32)
 
     return VocabIndex(
         table_k1=k1,
@@ -218,21 +296,26 @@ def _try_build(vocab, active_ids, size, m1, m2):
     meta = np.full(size, -1, dtype=np.int32)
     ids = np.full(size, -1, dtype=np.int32)
     max_probe = 1
+    ah1, ah2 = hash_all(vocab, m1, m2)
+    lens = vocab.lengths
     seen: dict[tuple[int, int, int, int], int] = {}
     for i in active_ids:
-        w = vocab.words[i]
-        h1, h2 = _hash_pair(w, m1, m2)
+        h1 = int(ah1[i])
+        h2 = int(ah2[i])
+        wl = int(lens[i])
         kind = int(vocab.is_prefix[i])
-        key = (h1, h2, w.shape[0], kind)
-        if key in seen:
-            other = vocab.words[seen[key]]
+        key = (h1, h2, wl, kind)
+        prev = seen.get(key)
+        if prev is not None:
+            other = vocab.word(prev)
+            w = vocab.word(i)
             if other.shape[0] != w.shape[0] or not np.array_equal(other, w):
                 return False, None  # true 64-bit collision: rehash
             # Duplicate string+kind: the reference's fast path overwrites,
             # last id wins (src/fast.cpp:33-35).
         seen[key] = i
-        m = np.int32((w.shape[0] << 1) | kind)
-        bucket = _bucket(h1, h2, kind, w.shape[0], mask)
+        m = np.int32((wl << 1) | kind)
+        bucket = _bucket(h1, h2, kind, wl, mask)
         probes = 1
         while ids[bucket] >= 0:
             if (

@@ -51,27 +51,36 @@ def commit(
     # word-prefix position, then skip spaces (src/fast.cpp:84-95).
     step = jnp.where(matched, feats.ss[land], feats.ss[feats.wnext[fail_j]])
 
-    # Seed: skip leading spaces (src/fast.cpp:47-49).
-    seed = feats.ss[0]
+    # Seeds: every unit start.  A "unit" is a maximal space-free run; the
+    # walk provably visits every unit start (it only ever crosses into a
+    # later unit at that unit's first non-space position), so seeding all
+    # of them is exact and shrinks the pointer-doubling depth from
+    # log2(n) to log2(longest within-unit chain).
+    prev_space = jnp.concatenate([jnp.array([True]), feats.space[:-1]])
+    visited = ~feats.space & prev_space & (pos < nn)
 
-    # Pointer doubling over the total step function F (sentinel n).
-    visited = (pos == seed) & (seed < nn)
     jump = step  # int32[n], values in [0, n]
 
-    def round_fn(_, carry):
-        visited, jump = carry
+    def cond_fn(carry):
+        visited, jump, changed = carry
+        return changed
+
+    def round_fn(carry):
+        visited, jump, _ = carry
         scat = (
             jnp.zeros((n + 1,), dtype=jnp.int32)
             .at[jnp.where(visited, jump, nn)]
             .max(visited.astype(jnp.int32))
         )
-        visited = visited | (scat[:n] > 0)
+        new_visited = visited | (scat[:n] > 0)
+        changed = jnp.any(new_visited != visited)
         jump_ext = jnp.concatenate([jump, jnp.array([n], dtype=jnp.int32)])
         jump = jump_ext[jump]
-        return visited, jump
+        return new_visited, jump, changed
 
-    n_rounds = max(1, (n - 1).bit_length())
-    visited, jump = jax.lax.fori_loop(0, n_rounds, round_fn, (visited, jump))
+    visited, jump, _ = jax.lax.while_loop(
+        cond_fn, round_fn, (visited, jump, jnp.bool_(True))
+    )
 
     # Segments: visited word-prefix positions start segments.
     seg_start = visited & feats.wp

@@ -43,17 +43,20 @@ def _ascii_tables():
 
 
 def is_space_j(cp: jax.Array) -> jax.Array:
-    space_tab = jnp.asarray(_ascii_tables()[0])
-    low = cp < 256
-    return (low & space_tab[jnp.where(low, cp, 0)]) | (cp == uni.SPACE_TOKEN)
+    # Arithmetic only — table gathers are slow on TPU.
+    return (cp == 32) | ((cp >= 9) & (cp <= 13)) | (cp == uni.SPACE_TOKEN)
 
 
 def is_punct_j(cp: jax.Array) -> jax.Array:
-    punct_tab = jnp.asarray(_ascii_tables()[1])
-    low = cp < 256
+    ascii_punct = (
+        ((cp >= 33) & (cp <= 47))
+        | ((cp >= 58) & (cp <= 64))
+        | ((cp >= 91) & (cp <= 96))
+        | ((cp >= 123) & (cp <= 126))
+    )
     extra = (cp == 183) | (cp == 171) | (cp == 187) | (cp == 8249) | (cp == 8250)
     dash = (cp >= 8208) & (cp <= 8248)
-    return (low & punct_tab[jnp.where(low, cp, 0)]) | extra | dash
+    return ascii_punct | extra | dash
 
 
 def is_chinese_j(cp: jax.Array) -> jax.Array:
@@ -63,6 +66,7 @@ def is_chinese_j(cp: jax.Array) -> jax.Array:
     return out
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TextFeatures:
     space: jax.Array  # bool[n], pad => True

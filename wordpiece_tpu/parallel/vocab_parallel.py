@@ -40,33 +40,25 @@ class ShardedVocabIndex:
 
 def build_index_sharded(vocab: Vocabulary, n_parts: int) -> ShardedVocabIndex:
     """Partition active tokens round-robin by id; one sub-table per part."""
-    parts: list[VocabIndex] = []
-    for p in range(n_parts):
-        sub = Vocabulary(
-            words=vocab.words,
+    def sub_vocab(p: int) -> Vocabulary:
+        # Mask out tokens not in this partition by marking malformed.
+        return Vocabulary(
+            flat=vocab.flat,
+            offsets=vocab.offsets,
             is_prefix=vocab.is_prefix,
             is_special=vocab.is_special,
-            # Mask out tokens not in this partition by marking malformed.
-            is_malformed=vocab.is_malformed
-            | (np.arange(vocab.size) % n_parts != p),
+            is_malformed=vocab.is_malformed | (np.arange(vocab.size) % n_parts != p),
             unk_token_id=vocab.unk_token_id,
         )
-        parts.append(build_index(sub))
+
+    parts: list[VocabIndex] = [build_index(sub_vocab(p)) for p in range(n_parts)]
     # Uniform static shape across parts: pad to the largest table.
     size = max(ix.size for ix in parts)
     log2 = int(size).bit_length() - 1
-    rebuilt = []
-    for p, ix in enumerate(parts):
-        if ix.size != size:
-            sub = Vocabulary(
-                words=vocab.words,
-                is_prefix=vocab.is_prefix,
-                is_special=vocab.is_special,
-                is_malformed=vocab.is_malformed | (np.arange(vocab.size) % n_parts != p),
-                unk_token_id=vocab.unk_token_id,
-            )
-            ix = build_index(sub, min_table_size=size)
-        rebuilt.append(ix)
+    rebuilt = [
+        ix if ix.size == size else build_index(sub_vocab(p), min_table_size=size)
+        for p, ix in enumerate(parts)
+    ]
     m1 = rebuilt[0].mult1
     m2 = rebuilt[0].mult2
     if any(ix.mult1 != m1 or ix.mult2 != m2 for ix in rebuilt):  # pragma: no cover

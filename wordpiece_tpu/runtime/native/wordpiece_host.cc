@@ -1,0 +1,214 @@
+// Native host runtime for wordpiece_tpu.
+//
+// TPU-native framework host layer: the pieces that must run on the host
+// CPU at memory bandwidth — UTF-8 corpus decode, whitespace-safe shard
+// splitting, vocab line parsing, and a scalar reference encoder used as
+// the production fallback / golden oracle for big inputs.  Counterpart of
+// the reference's src/third_party/utf8.cpp + src/utils.cpp roles, written
+// from the semantics (see SURVEY.md §2 C4/C6), not translated.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+//
+// Build: make -C wordpiece_tpu/runtime/native
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kInvalid = 0x110000;
+constexpr uint32_t kSpaceToken = 9601;
+
+inline bool is_cont(uint8_t b) { return (b & 0xC0u) == 0x80u; }
+
+inline bool ok_cp(uint32_t x) { return x < 0xD800u || (0xDFFFu < x && x < 0x110000u); }
+
+// Decode one codepoint; returns consumed bytes (>=1), INVALID on error.
+inline uint32_t decode_one(const uint8_t* p, int64_t size, int64_t* consumed) {
+  *consumed = 1;
+  uint8_t b0 = p[0];
+  if (b0 < 0x80u) return b0;
+  if ((b0 & 0xE0u) == 0xC0u) {
+    if (size >= 2 && is_cont(p[1])) {
+      uint32_t cp = ((b0 & 0x1Fu) << 6) | (p[1] & 0x3Fu);
+      if (cp >= 0x80u && ok_cp(cp)) { *consumed = 2; return cp; }
+    }
+  } else if ((b0 & 0xF0u) == 0xE0u) {
+    if (size >= 3 && is_cont(p[1]) && is_cont(p[2])) {
+      uint32_t cp = ((b0 & 0x0Fu) << 12) | ((p[1] & 0x3Fu) << 6) | (p[2] & 0x3Fu);
+      if (cp >= 0x800u && ok_cp(cp)) { *consumed = 3; return cp; }
+    }
+  } else if ((b0 & 0xF8u) == 0xF0u) {
+    if (size >= 4 && is_cont(p[1]) && is_cont(p[2]) && is_cont(p[3])) {
+      uint32_t cp = ((b0 & 0x07u) << 18) | ((p[1] & 0x3Fu) << 12) |
+                    ((p[2] & 0x3Fu) << 6) | (p[3] & 0x3Fu);
+      if (cp >= 0x10000u && ok_cp(cp)) { *consumed = 4; return cp; }
+    }
+  }
+  return kInvalid;
+}
+
+inline bool is_space_cp(uint32_t c) {
+  return c == ' ' || (c >= 9 && c <= 13) || c == kSpaceToken;
+}
+
+inline bool is_punct_cp(uint32_t c) {
+  if (c < 256) {
+    return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
+           (c >= 123 && c <= 126);
+  }
+  return c == 183 || c == 171 || c == 187 || c == 8249 || c == 8250 ||
+         (c >= 8208 && c <= 8248);
+}
+
+inline bool is_chinese_cp(uint32_t c) {
+  return (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+         (c >= 0x20000 && c <= 0x2A6DF) || (c >= 0x2A700 && c <= 0x2B73F) ||
+         (c >= 0x2B740 && c <= 0x2B81F) || (c >= 0x2B820 && c <= 0x2CEAF) ||
+         (c >= 0xF900 && c <= 0xFAFF) || (c >= 0x2F800 && c <= 0x2FA1F);
+}
+
+inline bool is_spacing_cp(uint32_t c) {
+  return is_space_cp(c) || is_punct_cp(c) || is_chinese_cp(c);
+}
+
+struct Key {
+  const uint32_t* data;
+  int32_t len;
+  bool operator==(const Key& o) const {
+    return len == o.len && std::memcmp(data, o.data, sizeof(uint32_t) * len) == 0;
+  }
+};
+
+struct KeyHash {
+  size_t operator()(const Key& k) const {
+    uint64_t h = 1469598103934665603ull;
+    for (int32_t i = 0; i < k.len; i++) {
+      h ^= k.data[i];
+      h *= 1099511628211ull;
+    }
+    return static_cast<size_t>(h);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// bytes -> codepoints; returns count written to out (cap must be >= size).
+int64_t wp_decode_utf8(const uint8_t* data, int64_t size, uint32_t* out) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < size) {
+    int64_t consumed;
+    uint32_t cp = decode_one(data + i, size - i, &consumed);
+    if (cp != kInvalid) out[n++] = cp;
+    i += consumed;
+  }
+  return n;
+}
+
+// Per-codepoint class flags: 1=space 2=punct 4=chinese (bitmask).
+void wp_char_classes(const uint32_t* cp, int64_t n, uint8_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t f = 0;
+    if (is_space_cp(cp[i])) f |= 1;
+    if (is_punct_cp(cp[i])) f |= 2;
+    if (is_chinese_cp(cp[i])) f |= 4;
+    out[i] = f;
+  }
+}
+
+// Scalar greedy MaxMatch encoder (reference worker semantics,
+// src/fast.cpp:43-99).  Vocab passed as packed arrays:
+//   words: concatenated codepoints; offsets: int64[v+1];
+//   flags: per-token bitmask 1=is_prefix 2=skip(special|malformed).
+// Returns the number of ids written to out (cap >= n + 1).
+int64_t wp_encode_scalar(const uint32_t* text, int64_t n,
+                         const uint32_t* words, const int64_t* offsets,
+                         const uint8_t* flags, int64_t vocab_size,
+                         int32_t unk_id, int32_t* out) {
+  std::unordered_map<Key, int32_t, KeyHash> prefix_map, suffix_map;
+  int64_t max_len = 0;
+  for (int64_t i = 0; i < vocab_size; i++) {
+    if (flags[i] & 2) continue;
+    Key k{words + offsets[i], static_cast<int32_t>(offsets[i + 1] - offsets[i])};
+    int64_t len = k.len;
+    if (len > max_len) max_len = len;
+    if (flags[i] & 1)
+      prefix_map[k] = static_cast<int32_t>(i);
+    else
+      suffix_map[k] = static_cast<int32_t>(i);
+  }
+  if (max_len > n) max_len = n;
+
+  auto is_word_prefix = [&](int64_t i) {
+    return i == 0 || is_spacing_cp(text[i]) || is_spacing_cp(text[i - 1]);
+  };
+
+  int64_t count = 0;
+  int64_t begin = 0;
+  const int64_t end = n;
+  while (begin != end && is_space_cp(text[begin])) begin++;
+
+  int64_t tokens_since_prefix = 0;
+  while (begin != end) {
+    int64_t word_len = 1;
+    if (!is_punct_cp(text[begin])) {
+      int64_t cap = std::min(max_len, end - begin);
+      while (word_len < cap && !is_spacing_cp(text[begin + word_len])) word_len++;
+    }
+
+    auto& map = is_word_prefix(begin) ? prefix_map : suffix_map;
+    int64_t matched = 0;
+    for (int64_t len = word_len; len >= 1; len--) {
+      Key k{text + begin, static_cast<int32_t>(len)};
+      auto it = map.find(k);
+      if (it != map.end()) {
+        tokens_since_prefix++;
+        out[count++] = it->second;
+        begin += len;
+        matched = len;
+        break;
+      }
+    }
+
+    if (matched == 0) {
+      count -= tokens_since_prefix;
+      tokens_since_prefix = 0;
+      out[count++] = unk_id;
+      begin += word_len;
+      while (begin != end && !is_word_prefix(begin)) begin++;
+    } else if (begin != end && is_word_prefix(begin)) {
+      tokens_since_prefix = 0;
+    }
+
+    while (begin != end && is_space_cp(text[begin])) begin++;
+  }
+  return count;
+}
+
+// Whitespace-safe shard boundaries over a codepoint array: fills
+// ends[0..n_shards) with chunk end indices (reference chunk snapping,
+// src/fast.cpp:113-115).
+void wp_split_whitespace(const uint32_t* cp, int64_t n, int64_t n_shards,
+                         int64_t* ends) {
+  int64_t base = n / n_shards + (n % n_shards ? 1 : 0);
+  int64_t begin = 0;
+  for (int64_t s = 0; s < n_shards; s++) {
+    if (begin >= n) {
+      ends[s] = n;
+      continue;
+    }
+    int64_t e = begin + base;
+    if (e > n) e = n;
+    while (e < n && !is_space_cp(cp[e])) e++;
+    ends[s] = e;
+    begin = e;
+  }
+}
+
+}  // extern "C"
