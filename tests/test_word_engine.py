@@ -1,0 +1,115 @@
+"""Differential tests for the word-centric (deduped-unit) fast engine.
+
+Also proves the unit-independence decomposition itself: concatenating
+per-unit oracle streams equals the whole-text oracle stream.
+"""
+
+import numpy as np
+import pytest
+
+from wordpiece_tpu.core import unicode as uni
+from wordpiece_tpu.core.oracle import encode_oracle, encode_oracle_str
+from wordpiece_tpu.core.vocab import parse_vocab
+from wordpiece_tpu.engine_word import WordEncoder
+from wordpiece_tpu.runtime import loader
+
+pytestmark = pytest.mark.skipif(not loader.available(), reason="native runtime required")
+
+UNK = -1
+
+
+def run_both(text: str, vocab_lines):
+    vocab = parse_vocab(vocab_lines)
+    raw = text.encode("utf-8")
+    want = encode_oracle_str(raw, vocab)
+    got = WordEncoder(vocab).encode_bytes(raw).tolist()
+    assert got == want, f"text={text!r} got={got[:40]} want={want[:40]}"
+    return got
+
+
+def test_unit_decomposition_matches_oracle():
+    """concat(oracle(unit)) == oracle(text) for arbitrary mixed text."""
+    rng = np.random.default_rng(7)
+    chars = list("ab cde-f.g  h中文х▁ ,q")
+    vocab = parse_vocab(
+        ["a", "b", "c", "##a", "##b", "##c", "##d", "de", "-", ",", ".", "中", "文", "х", "q", "##q", "f", "g", "h"]
+    )
+    for _ in range(50):
+        n = int(rng.integers(1, 120))
+        s = "".join(rng.choice(chars) for _ in range(n))
+        raw = s.encode()
+        want = encode_oracle_str(raw, vocab)
+        seg = loader.segment_dedupe(raw)
+        occ, ustart, ulen, _ = seg
+        got = []
+        per_unit = {}
+        for u in range(len(ustart)):
+            unit = raw[ustart[u] : ustart[u] + ulen[u]]
+            per_unit[u] = encode_oracle_str(unit, vocab)
+        for u in occ:
+            got.extend(per_unit[int(u)])
+        assert got == want, f"text={s!r}"
+
+
+@pytest.mark.parametrize(
+    "text,vocab,expected",
+    [
+        ("aaaa", ["aaaa", "aaa", "aa", "a"], [0]),
+        ("abcdef", ["bcde", "ac", "def", "bc", "##bcdef", "a"], [5, 4]),
+        ("   aaaa  ", ["aa", "##aa"], [0, 1]),
+        ("aaaa", ["aa", "##a"], [0, 1, 1]),
+        ("self-made", ["self", "made", "-", "##-", "##made"], [0, 2, 1]),
+        ("abc a abc abd", ["a", "abd"], [UNK, 0, UNK, 1]),
+        ("abcdef", ["a", "##bcdef", "ab", "##c", "##d", "##e", "##f"], [2, 3, 4, 5, 6]),
+        ("привет мир", ["при", "##вет", "мир"], [0, 1, 2]),
+        ("中文", ["中", "文"], [0, 1]),
+        ("中ab", ["中ab", "中", "a", "##b", "ab"], [0]),
+        ("-a", ["-a", "-", "a"], [1, 2]),
+        ("abcdefghij zz", ["ab", "zz"], [UNK, 1]),
+        ("the the the", ["the"], [0, 0, 0]),
+    ],
+)
+def test_word_engine_unit_vectors(text, vocab, expected):
+    got = run_both(text, vocab)
+    assert got == expected
+
+
+def test_word_engine_long_unit_overflow():
+    # A unit longer than the widest bucket exercises the scalar fallback.
+    long_word = "ab" * 200
+    run_both(long_word + " zz", ["ab", "##ab", "zz"])
+
+
+def test_word_engine_random_stress():
+    rng = np.random.default_rng(19)
+    alphabet = np.array(list("abcdef"))
+    for trial in range(25):
+        words = [
+            "".join(rng.choice(alphabet, size=int(rng.integers(1, 14))))
+            for _ in range(30)
+        ]
+        text = " ".join(rng.choice(words) for _ in range(200))
+        vocab = set()
+        for w in words[:20]:
+            vocab.add(w[:2])
+            if len(w) > 2:
+                vocab.add("##" + w[2:4])
+            for c in "abcdef":
+                vocab.add(c)
+                if trial % 2:
+                    vocab.add("##" + c)
+        run_both(text, sorted(vocab))
+
+
+def test_word_engine_multilingual():
+    text = "привет 中文 mixed▁tokens, punct-uation! 漢字かな"
+    vocab = [
+        "[UNK]", "привет", "中", "文", "mixed", "tokens", "punct", "##uation",
+        "-", ",", "!", "漢", "字", "かな", "か", "##な",
+    ]
+    run_both(text, vocab)
+
+
+def test_word_engine_unk_rollback_in_units():
+    run_both("abcdex abcde", ["ab", "##c", "##d", "##e", "abcde"])
+    run_both("中xyq 中", ["中", "x", "##y"])

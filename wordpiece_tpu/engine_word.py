@@ -1,0 +1,180 @@
+"""Word-centric Fast encoder: dedupe units on host, tokenize on device.
+
+Why units are independent (semantics proven against the reference worker
+loop, src/fast.cpp:43-99):
+ - no match can cross a spacing char: the probe window at i stops at the
+   first spacing char after i (src/fast.cpp:54-60);
+ - punctuation probes a window of 1, so a cut after punctuation is safe;
+ - a CJK char's window extends into the following non-spacing run, so a
+   CJK char is glued to that run (and only cut before it is safe);
+ - the walk enters a later unit only at that unit's first position, which
+   is always a word-prefix position (text start, a spacing char itself,
+   or preceded by one);
+ - the UNK rollback never crosses a word-prefix position.
+
+Hence tokenization is a pure function of unit content, units can be
+deduped (Zipf: typically 5-20x fewer unique units than occurrences), and
+the per-occurrence id stream is the concatenation of per-unit streams.
+
+Pipeline:
+ host C++ : segment + dedupe + pack unique units into width buckets
+ device   : word_match_commit per bucket (row-local vector ops only)
+ host C++ : expand unique token lists back to the occurrence stream
+ fallback : units longer than the widest bucket (rare) use the native
+            scalar encoder — identical semantics, host-verified in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .core.length_tables import LengthTables, build_length_tables
+from .core.vocab import Vocabulary
+from .ops.word_kernel import word_match_commit
+from .runtime import loader
+
+# Width buckets (codepoints per unit).  The top width keeps W+1 <= 128 so
+# the in-row crossbar can address the sentinel column.
+WIDTHS = (16, 126)
+
+
+def _round_rows(n: int, multiple: int = 256) -> int:
+    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+class WordEncoder:
+    """Deduped unit encoder (the production fast path)."""
+
+    def __init__(self, vocab: Vocabulary, tables: LengthTables | None = None):
+        if not loader.available():
+            raise RuntimeError("word engine requires the native host runtime")
+        self.vocab = vocab
+        self.tables = tables if tables is not None else build_length_tables(vocab)
+        self._tab_k1 = jnp.asarray(self.tables.k1)
+        self._tab_k2 = jnp.asarray(self.tables.k2)
+        self._tab_id = jnp.asarray(self.tables.tid)
+        self._scalar = loader.VocabHandle(vocab)
+        self._statics = dict(
+            max_len=int(self.tables.max_len),
+            rows_off=tuple(self.tables.rows_off),
+            mult1=int(self.tables.mult1),
+            mult2=int(self.tables.mult2),
+            lane_salt=int(self.tables.lane_salt),
+            unk_id=int(self.tables.unk_token_id),
+        )
+
+    # -- device step -------------------------------------------------------
+    def _run_bucket(self, mat: np.ndarray, width: int) -> np.ndarray:
+        """mat: int32[U, width] (pad 32).  Returns emit int32[U, width]."""
+        u = mat.shape[0]
+        max_len = self._statics["max_len"]
+        rows = _round_rows(u)
+        padded = np.full((rows, width + max_len), 32, dtype=np.int32)
+        padded[:u, :width] = mat
+        emit = word_match_commit(
+            jnp.asarray(padded),
+            self._tab_k1,
+            self._tab_k2,
+            self._tab_id,
+            width=width,
+            **self._statics,
+        )
+        return np.asarray(emit[:u])
+
+    # -- host orchestration ------------------------------------------------
+    def encode_bytes(self, data: bytes) -> np.ndarray:
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
+        nu = ustart.shape[0]
+        if nu == 0:
+            return np.zeros(0, dtype=np.int32)
+
+        mats, bucket_of, row_of = loader.bucket_fill(
+            data, ustart, ulen, ucplen, list(WIDTHS)
+        )
+
+        # Per-unique token lists, flattened per bucket then stitched.
+        n_buckets = len(WIDTHS)
+        flats: list[np.ndarray] = []
+        bucket_row_offsets: list[np.ndarray] = []  # per bucket: int64[U_b+1]
+        for b, mat in enumerate(mats):
+            if mat.shape[0] == 0:
+                flats.append(np.zeros(0, np.int32))
+                bucket_row_offsets.append(np.zeros(1, np.int64))
+                continue
+            emit = self._run_bucket(mat, WIDTHS[b])
+            mask = emit != -2
+            counts = mask.sum(axis=1).astype(np.int64)
+            offs = np.zeros(mat.shape[0] + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            flats.append(emit[mask].astype(np.int32))
+            bucket_row_offsets.append(offs)
+
+        # Overflow units (> widest bucket): native scalar fallback.
+        overflow_ids: dict[int, np.ndarray] = {}
+        overflow_sel = np.nonzero(bucket_of == n_buckets)[0]
+        for u in overflow_sel:
+            cps = loader.decode_utf8(
+                data[ustart[u] : ustart[u] + ulen[u]]
+            )
+            overflow_ids[int(u)] = self._scalar.encode(cps)
+
+        # Stitch per-unique (offset, count) into one flat array.
+        base = np.zeros(n_buckets + 1, dtype=np.int64)
+        for b in range(n_buckets):
+            base[b + 1] = base[b] + flats[b].shape[0]
+        over_flat = (
+            np.concatenate([overflow_ids[int(u)] for u in overflow_sel])
+            if overflow_sel.size
+            else np.zeros(0, np.int32)
+        )
+        tok_flat = np.concatenate(flats + [over_flat]) if nu else np.zeros(0, np.int32)
+
+        offsets = np.zeros(nu + 1, dtype=np.int64)
+        counts_u = np.zeros(nu, dtype=np.int64)
+        starts_u = np.zeros(nu, dtype=np.int64)
+        for b in range(n_buckets):
+            sel = bucket_of == b
+            if not sel.any():
+                continue
+            rows = row_of[sel]
+            offs = bucket_row_offsets[b]
+            starts_u[sel] = base[b] + offs[rows]
+            counts_u[sel] = offs[rows + 1] - offs[rows]
+        if overflow_sel.size:
+            over_base = base[n_buckets]
+            pos = over_base
+            for u in overflow_sel:
+                c = overflow_ids[int(u)].shape[0]
+                starts_u[u] = pos
+                counts_u[u] = c
+                pos += c
+
+        # Re-pack flat so unique u's ids live at offsets[u]:offsets[u+1].
+        np.cumsum(counts_u, out=offsets[1:])
+        total = int(offsets[-1])
+        order_flat = np.empty(total, dtype=np.int32)
+        if total:
+            # Vectorized ragged-range gather (no Python loop): a delta
+            # array that is 1 inside each run and jumps at run starts.
+            nz = counts_u > 0
+            su = starts_u[nz]
+            ln = counts_u[nz]
+            first_pos = np.concatenate([[0], np.cumsum(ln)[:-1]])
+            d = np.ones(total, dtype=np.int64)
+            d[first_pos[0]] = su[0]
+            if su.shape[0] > 1:
+                d[first_pos[1:]] = su[1:] - (su[:-1] + ln[:-1]) + 1
+            order_flat[:] = tok_flat[np.cumsum(d)]
+
+        out = loader.expand(occ, order_flat, offsets)
+        return out if out is not None else np.zeros(0, np.int32)
+
+    def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
+        """Compatibility entry: re-encode cps to UTF-8 bytes first."""
+        from .core import unicode as uni
+
+        return self.encode_bytes(uni.encode_utf8(np.asarray(cps, dtype=np.uint32)))

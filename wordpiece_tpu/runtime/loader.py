@@ -71,6 +71,56 @@ def _load():
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.wp_segment_dedupe.restype = ctypes.c_int64
+        lib.wp_segment_dedupe.argtypes = [ctypes.c_void_p] * 6 + [ctypes.c_int64, ctypes.c_void_p]
+        # (data, size, occ, uniq_start, uniq_len, uniq_cplen, n_unique_out)
+        lib.wp_segment_dedupe.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.wp_bucket_fill.restype = None
+        lib.wp_bucket_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.wp_expand.restype = ctypes.c_int64
+        lib.wp_expand.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.wp_vocab_new.restype = ctypes.c_void_p
+        lib.wp_vocab_new.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.wp_vocab_free.restype = None
+        lib.wp_vocab_free.argtypes = [ctypes.c_void_p]
+        lib.wp_encode_with.restype = ctypes.c_int64
+        lib.wp_encode_with.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
         return _LIB
 
@@ -134,6 +184,135 @@ def encode_scalar(text_cp: np.ndarray, vocab) -> np.ndarray | None:
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out[:n].copy()
+
+
+def segment_dedupe(data: bytes):
+    """Segment corpus bytes into units and dedupe.
+
+    Returns (occ_unique int32[n_occ], uniq_start int64[nu],
+    uniq_len int32[nu], uniq_cplen int32[nu]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    size = len(data)
+    cap = max(size, 1)
+    buf = np.frombuffer(data, dtype=np.uint8) if size else np.zeros(1, np.uint8)
+    occ = np.empty(cap, dtype=np.int32)
+    ustart = np.empty(cap, dtype=np.int64)
+    ulen = np.empty(cap, dtype=np.int32)
+    ucplen = np.empty(cap, dtype=np.int32)
+    n_uniq = ctypes.c_int64(0)
+    n_occ = lib.wp_segment_dedupe(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        size,
+        occ.ctypes.data_as(ctypes.c_void_p),
+        ustart.ctypes.data_as(ctypes.c_void_p),
+        ulen.ctypes.data_as(ctypes.c_void_p),
+        ucplen.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(n_uniq),
+    )
+    nu = n_uniq.value
+    return (
+        occ[:n_occ].copy(),
+        ustart[:nu].copy(),
+        ulen[:nu].copy(),
+        ucplen[:nu].copy(),
+    )
+
+
+def bucket_fill(data: bytes, ustart, ulen, ucplen, widths):
+    """Pack unique units into width-bucketed int32 codepoint matrices.
+
+    Returns (matrices list[int32 (U_b, W_b)], bucket_of, row_of); units
+    longer than the widest bucket get bucket_of == len(widths)."""
+    lib = _load()
+    if lib is None:
+        return None
+    widths = np.asarray(widths, dtype=np.int32)
+    nu = ustart.shape[0]
+    counts = np.zeros(widths.shape[0] + 1, dtype=np.int64)
+    bucket_pre = np.searchsorted(widths, ucplen, side="left")
+    for b in range(widths.shape[0] + 1):
+        counts[b] = int(np.count_nonzero(bucket_pre == b))
+    matrices = [
+        np.full((int(counts[b]), int(widths[b])), 32, dtype=np.int32)
+        for b in range(widths.shape[0])
+    ]
+    ptrs = (ctypes.c_void_p * widths.shape[0])(
+        *[m.ctypes.data_as(ctypes.c_void_p).value for m in matrices]
+    )
+    bucket_of = np.empty(nu, dtype=np.int32)
+    row_of = np.empty(nu, dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.zeros(1, np.uint8)
+    lib.wp_bucket_fill(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ustart, np.int64).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ulen, np.int32).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ucplen, np.int32).ctypes.data_as(ctypes.c_void_p),
+        nu,
+        widths.ctypes.data_as(ctypes.c_void_p),
+        np.int32(widths.shape[0]),
+        ptrs,
+        bucket_of.ctypes.data_as(ctypes.c_void_p),
+        row_of.ctypes.data_as(ctypes.c_void_p),
+    )
+    return matrices, bucket_of, row_of
+
+
+def expand(occ_unique, tok_flat, tok_offsets) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    occ = np.ascontiguousarray(occ_unique, np.int32)
+    flat = np.ascontiguousarray(tok_flat, np.int32)
+    offs = np.ascontiguousarray(tok_offsets, np.int64)
+    counts = np.diff(offs)
+    total = int(counts[occ].sum()) if occ.size else 0
+    out = np.empty(max(total, 1), dtype=np.int32)
+    n = lib.wp_expand(
+        occ.ctypes.data_as(ctypes.c_void_p),
+        occ.shape[0],
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out[:n].copy()
+
+
+class VocabHandle:
+    """Reusable native scalar encoder (vocab maps built once)."""
+
+    def __init__(self, vocab):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        flat, offsets, flags = pack_vocab(vocab)
+        self._keep = (flat, offsets, flags)
+        self._h = lib.wp_vocab_new(
+            flat.ctypes.data_as(ctypes.c_void_p),
+            offsets.ctypes.data_as(ctypes.c_void_p),
+            flags.ctypes.data_as(ctypes.c_void_p),
+            vocab.size,
+            np.int32(vocab.unk_token_id),
+        )
+
+    def encode(self, text_cp: np.ndarray) -> np.ndarray:
+        cp = np.ascontiguousarray(text_cp, dtype=np.uint32)
+        out = np.empty(cp.shape[0] + 1, dtype=np.int32)
+        n = self._lib.wp_encode_with(
+            self._h,
+            cp.ctypes.data_as(ctypes.c_void_p),
+            cp.shape[0],
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out[:n].copy()
+
+    def __del__(self):
+        try:
+            self._lib.wp_vocab_free(self._h)
+        except Exception:
+            pass
 
 
 def split_whitespace(cp: np.ndarray, n_shards: int) -> np.ndarray | None:

@@ -212,3 +212,248 @@ void wp_split_whitespace(const uint32_t* cp, int64_t n, int64_t n_shards,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Unit segmentation + dedupe (the word-centric fast path's host side).
+//
+// A "unit" is an independently tokenizable span (proof in SURVEY-cited
+// semantics; see wordpiece_tpu/engine_word.py):
+//   - spaces are skipped and never emitted;
+//   - a punctuation char is a unit by itself (probe window 1);
+//   - a CJK char merges with the following run of non-spacing chars
+//     (the reference's probe window at a CJK char extends into them,
+//     src/fast.cpp:54-60);
+//   - otherwise a maximal run of non-spacing chars is a unit.
+// Units with equal bytes tokenize identically, so the corpus is deduped
+// at unit granularity (Zipf => ~10x less device work).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct UnitKey {
+  const uint8_t* p;
+  int32_t len;
+  bool operator==(const UnitKey& o) const {
+    return len == o.len && std::memcmp(p, o.p, static_cast<size_t>(len)) == 0;
+  }
+};
+struct UnitKeyHash {
+  size_t operator()(const UnitKey& k) const {
+    uint64_t h = 1469598103934665603ull;
+    for (int32_t i = 0; i < k.len; i++) {
+      h ^= k.p[i];
+      h *= 1099511628211ull;
+    }
+    return static_cast<size_t>(h);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Segment `data` into units and dedupe them.
+// Outputs:
+//   occ_unique[n_occ]   unique index per unit occurrence (corpus order)
+//   uniq_start[n_uniq]  byte offset of the unique unit's first occurrence
+//   uniq_len[n_uniq]    byte length
+//   uniq_cplen[n_uniq]  decoded codepoint count
+// Returns n_occ; *n_unique_out = n_uniq.  Buffers must hold `size`
+// entries (worst case: every byte its own unit).
+int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
+                          int32_t* occ_unique, int64_t* uniq_start,
+                          int32_t* uniq_len, int32_t* uniq_cplen,
+                          int64_t* n_unique_out) {
+  std::unordered_map<UnitKey, int32_t, UnitKeyHash> seen;
+  seen.reserve(1 << 16);
+  int64_t n_occ = 0;
+  int64_t n_uniq = 0;
+  int64_t i = 0;
+  while (i < size) {
+    int64_t consumed;
+    uint32_t cp = decode_one(data + i, size - i, &consumed);
+    if (cp == kInvalid || is_space_cp(cp)) {
+      i += consumed;  // invalid bytes are dropped; spaces never emit
+      continue;
+    }
+    const int64_t start = i;
+    int32_t cplen = 0;
+    if (is_punct_cp(cp)) {
+      i += consumed;
+      cplen = 1;
+    } else {
+      if (is_chinese_cp(cp)) {
+        i += consumed;  // leading CJK char joins the following run
+        cplen = 1;
+      }
+      while (i < size) {
+        int64_t c2;
+        uint32_t cp2 = decode_one(data + i, size - i, &c2);
+        if (cp2 == kInvalid) {
+          // Invalid bytes vanish in decode; they do NOT delimit units.
+          i += c2;
+          continue;
+        }
+        if (is_spacing_cp(cp2)) break;
+        i += c2;
+        cplen++;
+      }
+    }
+    UnitKey key{data + start, static_cast<int32_t>(i - start)};
+    auto it = seen.find(key);
+    int32_t uid;
+    if (it == seen.end()) {
+      uid = static_cast<int32_t>(n_uniq);
+      seen.emplace(key, uid);
+      uniq_start[n_uniq] = start;
+      uniq_len[n_uniq] = key.len;
+      uniq_cplen[n_uniq] = cplen;
+      n_uniq++;
+    } else {
+      uid = it->second;
+    }
+    occ_unique[n_occ++] = uid;
+  }
+  *n_unique_out = n_uniq;
+  return n_occ;
+}
+
+// Fill width-bucketed codepoint matrices with the unique units.
+// widths[n_buckets] ascending; a unit goes to the smallest width >= cplen,
+// or to the overflow list if cplen > widths[n_buckets-1].
+// matrices[b] is an int32 (counts[b], widths[b]) row-major buffer,
+// pre-filled by the caller with the pad value (32 = space).
+// Outputs per unique: bucket_of (n_buckets = overflow), row_of.
+void wp_bucket_fill(const uint8_t* data, const int64_t* uniq_start,
+                    const int32_t* uniq_len, const int32_t* uniq_cplen,
+                    int64_t n_uniq, const int32_t* widths, int32_t n_buckets,
+                    int32_t** matrices, int32_t* bucket_of, int32_t* row_of) {
+  std::vector<int64_t> next_row(static_cast<size_t>(n_buckets), 0);
+  int64_t overflow_row = 0;
+  for (int64_t u = 0; u < n_uniq; u++) {
+    int32_t cplen = uniq_cplen[u];
+    int32_t b = -1;
+    for (int32_t j = 0; j < n_buckets; j++) {
+      if (cplen <= widths[j]) {
+        b = j;
+        break;
+      }
+    }
+    if (b < 0) {
+      bucket_of[u] = n_buckets;
+      row_of[u] = static_cast<int32_t>(overflow_row++);
+      continue;
+    }
+    bucket_of[u] = b;
+    int64_t row = next_row[static_cast<size_t>(b)]++;
+    row_of[u] = static_cast<int32_t>(row);
+    int32_t* dst = matrices[b] + row * widths[b];
+    const uint8_t* p = data + uniq_start[u];
+    int64_t remaining = uniq_len[u];
+    int32_t k = 0;
+    while (remaining > 0 && k < widths[b]) {
+      int64_t consumed;
+      uint32_t cp = decode_one(p, remaining, &consumed);
+      if (cp != kInvalid) dst[k++] = static_cast<int32_t>(cp);
+      p += consumed;
+      remaining -= consumed;
+    }
+  }
+}
+
+// Expand per-unique token lists to the per-occurrence id stream.
+// tok_offsets[u]..tok_offsets[u+1] delimit unique u's ids in tok_flat.
+int64_t wp_expand(const int32_t* occ_unique, int64_t n_occ,
+                  const int32_t* tok_flat, const int64_t* tok_offsets,
+                  int32_t* out) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < n_occ; i++) {
+    const int32_t u = occ_unique[i];
+    const int64_t b = tok_offsets[u];
+    const int64_t e = tok_offsets[u + 1];
+    for (int64_t j = b; j < e; j++) out[n++] = tok_flat[j];
+  }
+  return n;
+}
+
+// --- Reusable scalar-encoder handle (vocab maps built once) --------------
+
+struct WpVocabHandle {
+  std::vector<uint32_t> words;
+  std::vector<int64_t> offsets;
+  std::unordered_map<Key, int32_t, KeyHash> prefix_map, suffix_map;
+  int64_t max_len = 0;
+  int32_t unk_id = -1;
+};
+
+void* wp_vocab_new(const uint32_t* words, const int64_t* offsets,
+                   const uint8_t* flags, int64_t vocab_size, int32_t unk_id) {
+  auto* h = new WpVocabHandle();
+  h->words.assign(words, words + offsets[vocab_size]);
+  h->offsets.assign(offsets, offsets + vocab_size + 1);
+  h->unk_id = unk_id;
+  for (int64_t i = 0; i < vocab_size; i++) {
+    if (flags[i] & 2) continue;
+    Key k{h->words.data() + h->offsets[i],
+          static_cast<int32_t>(h->offsets[i + 1] - h->offsets[i])};
+    if (k.len > h->max_len) h->max_len = k.len;
+    if (flags[i] & 1)
+      h->prefix_map[k] = static_cast<int32_t>(i);
+    else
+      h->suffix_map[k] = static_cast<int32_t>(i);
+  }
+  return h;
+}
+
+void wp_vocab_free(void* handle) { delete static_cast<WpVocabHandle*>(handle); }
+
+// Same walk as wp_encode_scalar but with a prebuilt vocab handle.
+int64_t wp_encode_with(void* handle, const uint32_t* text, int64_t n,
+                       int32_t* out) {
+  auto* h = static_cast<WpVocabHandle*>(handle);
+  int64_t max_len = std::min<int64_t>(h->max_len, n);
+
+  auto is_word_prefix = [&](int64_t i) {
+    return i == 0 || is_spacing_cp(text[i]) || is_spacing_cp(text[i - 1]);
+  };
+
+  int64_t count = 0;
+  int64_t begin = 0;
+  const int64_t end = n;
+  while (begin != end && is_space_cp(text[begin])) begin++;
+
+  int64_t tokens_since_prefix = 0;
+  while (begin != end) {
+    int64_t word_len = 1;
+    if (!is_punct_cp(text[begin])) {
+      int64_t cap = std::min(max_len, end - begin);
+      while (word_len < cap && !is_spacing_cp(text[begin + word_len])) word_len++;
+    }
+    auto& map = is_word_prefix(begin) ? h->prefix_map : h->suffix_map;
+    int64_t matched = 0;
+    for (int64_t len = word_len; len >= 1; len--) {
+      Key k{text + begin, static_cast<int32_t>(len)};
+      auto it = map.find(k);
+      if (it != map.end()) {
+        tokens_since_prefix++;
+        out[count++] = it->second;
+        begin += len;
+        matched = len;
+        break;
+      }
+    }
+    if (matched == 0) {
+      count -= tokens_since_prefix;
+      tokens_since_prefix = 0;
+      out[count++] = h->unk_id;
+      begin += word_len;
+      while (begin != end && !is_word_prefix(begin)) begin++;
+    } else if (begin != end && is_word_prefix(begin)) {
+      tokens_since_prefix = 0;
+    }
+    while (begin != end && is_space_cp(text[begin])) begin++;
+  }
+  return count;
+}
+
+}  // extern "C"
