@@ -147,7 +147,29 @@ class _EngineNamespace:
 
 def make_encoder(vocab: Vocabulary, engine: str = "fast"):
     if engine == "fast":
+        # Production fast path: deduped-unit word engine (needs the
+        # native host runtime); falls back to the streaming device path.
+        from .runtime import loader
+
+        if loader.available():
+            from .engine_word import WordEncoder
+
+            return WordEncoder(vocab)
         return FastEncoder(vocab)
+    if engine == "fast-stream":
+        return FastEncoder(vocab)
+    if engine == "host":
+        from .runtime import loader as _loader
+
+        class _HostEncoder:
+            def __init__(self, v):
+                self.vocab = v
+                self._h = _loader.VocabHandle(v)
+
+            def encode_codepoints(self, cps):
+                return self._h.encode(cps)
+
+        return _HostEncoder(vocab)
     if engine == "linear":
         from .engine_linear import LinearEncoder
 

@@ -35,13 +35,39 @@ from .core.vocab import Vocabulary
 from .ops.word_kernel import word_match_commit
 from .runtime import loader
 
-# Width buckets (codepoints per unit).  The top width keeps W+1 <= 128 so
-# the in-row crossbar can address the sentinel column.
-WIDTHS = (16, 126)
+# Group strides (lanes per unit; must divide 128).  A unit of width
+# W = stride - 1 codepoints occupies its group's first W lanes; the last
+# lane is the sentinel column.  Finer buckets mean short units skip the
+# candidate rows of long token lengths entirely.
+STRIDES = (8, 16, 32, 128)
+WIDTHS = tuple(s - 1 for s in STRIDES)
+BLOCK_ROWS = 256
 
 
-def _round_rows(n: int, multiple: int = 256) -> int:
+def _round_rows(n: int, multiple: int = BLOCK_ROWS) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+def pack_groups(mat: np.ndarray, stride: int, max_len: int) -> np.ndarray:
+    """(U, W) unit matrix -> (rows, 128 + max_len) group-packed, pad 32."""
+    u, w = mat.shape
+    assert w == stride - 1
+    n_groups = 128 // stride
+    rows = _round_rows(-(-u // n_groups))
+    units = np.full((rows * n_groups, stride), 32, dtype=np.int32)
+    units[:u, :w] = mat
+    packed = units.reshape(rows, 128)
+    out = np.full((rows, 128 + max_len), 32, dtype=np.int32)
+    out[:, :128] = packed
+    return out
+
+
+def unpack_emit(emit: np.ndarray, stride: int, n_units: int) -> np.ndarray:
+    """(rows, 128) kernel output -> (n_units, stride - 1) emissions."""
+    rows = emit.shape[0]
+    n_groups = 128 // stride
+    units = emit.reshape(rows * n_groups, stride)
+    return units[:n_units, : stride - 1]
 
 
 class WordEncoder:
@@ -66,10 +92,30 @@ class WordEncoder:
         )
 
     # -- device step -------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     def _run_bucket(self, mat: np.ndarray, width: int) -> np.ndarray:
         """mat: int32[U, width] (pad 32).  Returns emit int32[U, width]."""
         u = mat.shape[0]
         max_len = self._statics["max_len"]
+        if self._use_pallas():
+            from .ops.word_kernel_pallas import word_match_commit_pallas
+
+            stride = width + 1
+            packed = pack_groups(mat, stride, max_len)
+            emit = word_match_commit_pallas(
+                jnp.asarray(packed),
+                self._tab_k1,
+                self._tab_k2,
+                self._tab_id,
+                stride=stride,
+                block_rows=BLOCK_ROWS,
+                **self._statics,
+            )
+            return unpack_emit(np.asarray(emit), stride, u)
         rows = _round_rows(u)
         padded = np.full((rows, width + max_len), 32, dtype=np.int32)
         padded[:u, :width] = mat
