@@ -1,0 +1,119 @@
+"""Differential tests: Linear (suffix-array) engine vs oracle and vs Fast.
+
+Mirrors the reference's linear==fast differential guarantee
+(tests/tests.cpp:90-97) plus SA/LCP unit checks.
+"""
+
+import numpy as np
+import pytest
+
+from wordpiece_tpu.core import unicode as uni
+from wordpiece_tpu.core.oracle import encode_oracle
+from wordpiece_tpu.core.vocab import parse_vocab
+from wordpiece_tpu.engine_linear import LinearEncoder
+from wordpiece_tpu.ops.suffix_array import (
+    _ceil_log2,
+    lcp_from_levels,
+    suffix_array_ranks,
+)
+
+UNK = -1
+
+
+def ref_suffix_array(s):
+    return np.array(sorted(range(len(s)), key=lambda i: s[i:]), dtype=np.int32)
+
+
+def ref_lcp(s, sa):
+    out = np.zeros(len(s), dtype=np.int32)
+    for r in range(len(s) - 1):
+        a, b = s[sa[r] :], s[sa[r + 1] :]
+        k = 0
+        while k < len(a) and k < len(b) and a[k] == b[k]:
+            k += 1
+        out[r] = k
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("n", [1, 2, 7, 50, 257])
+def test_suffix_array_and_lcp(seed, n):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(1, 5, size=n).astype(np.int32)
+    import jax.numpy as jnp
+
+    n_levels = _ceil_log2(n) + 1
+    sa, rank, levels = suffix_array_ranks(jnp.asarray(s), n_levels)
+    want_sa = ref_suffix_array(s.tolist())
+    np.testing.assert_array_equal(np.asarray(sa), want_sa)
+    lcp = lcp_from_levels(sa, levels, n_levels)
+    np.testing.assert_array_equal(np.asarray(lcp), ref_lcp(s.tolist(), want_sa))
+
+
+def run_linear(text: str, vocab_lines):
+    vocab = parse_vocab(vocab_lines)
+    cps = uni.decode_utf8(text.encode())
+    want = encode_oracle(cps, vocab)
+    got = LinearEncoder(vocab).encode_codepoints(cps.astype(np.int32)).tolist()
+    assert got == want, f"text={text!r} got={got[:40]} want={want[:40]}"
+    return got
+
+
+@pytest.mark.parametrize(
+    "text,vocab,expected",
+    [
+        ("aaaa", ["aaaa", "aaa", "aa", "a"], [0]),
+        ("abcdef", ["bcde", "ac", "def", "bc", "bcdef", "a"], [UNK]),
+        ("abcdef", ["bcde", "ac", "def", "bc", "##bcdef", "a"], [5, 4]),
+        ("   aaaa  ", ["aa", "##aa"], [0, 1]),
+        ("aaaa", ["aa", "##a"], [0, 1, 1]),
+        ("self-made", ["self", "made", "-", "##-", "##made"], [0, 2, 1]),
+        ("abc a abc abd", ["a", "abd"], [UNK, 0, UNK, 1]),
+        ("abcdef", ["a", "##bcdef", "ab", "##c", "##d", "##e", "##f"], [2, 3, 4, 5, 6]),
+        ("привет мир", ["при", "##вет", "мир"], [0, 1, 2]),
+        ("中ab", ["中ab", "中", "a", "##b", "ab"], [0]),
+        ("-a", ["-a", "-", "a"], [1, 2]),
+        ("abcdefghij zz", ["ab", "zz"], [UNK, 1]),
+    ],
+)
+def test_linear_unit_vectors(text, vocab, expected):
+    assert run_linear(text, vocab) == expected
+
+
+def test_linear_random_split_stress():
+    rng = np.random.default_rng(17)
+    alphabet = np.array(list("abcdef"))
+    for text_len in (10, 40, 90):
+        for parts in (2, 5, 17):
+            for positive in (True, False):
+                s = "".join(rng.choice(alphabet, size=text_len))
+                borders = {text_len}
+                while len(borders) < min(parts, text_len):
+                    borders.add(int(rng.integers(1, text_len)))
+                vocab = set()
+                start = 0
+                for b in sorted(borders):
+                    if start == 0:
+                        vocab.add(s[start:b])
+                    vocab.add("##" + s[start:b])
+                    start = b
+                vocab = sorted(vocab)
+                if not positive and len(vocab) > 1:
+                    vocab = vocab[1:]
+                run_linear(s, vocab)
+
+
+def test_linear_matches_fast_engine():
+    from wordpiece_tpu.engine import FastEncoder
+
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcde"), size=int(rng.integers(1, 9)))) for _ in range(40)]
+    text = " ".join(rng.choice(words) for _ in range(150))
+    vocab_lines = sorted(
+        {w[:3] for w in words} | {"##" + w[3:] for w in words if len(w) > 3} | set("abcde")
+    )
+    vocab = parse_vocab(vocab_lines)
+    cps = uni.decode_utf8(text.encode()).astype(np.int32)
+    fast = FastEncoder(vocab).encode_codepoints(cps).tolist()
+    linear = LinearEncoder(vocab).encode_codepoints(cps).tolist()
+    assert fast == linear

@@ -1,0 +1,110 @@
+"""Linear (suffix-array) encoder — the reference's second algorithm,
+re-architected for TPU (SURVEY.md §7 step 5).
+
+Pipeline (mirrors src/linear.cpp:72-319 semantically):
+  1. S = text · 1 · tok_1 · 1 · … · tok_k · 1  (separator 1, layout at
+     src/linear.cpp:87-101);
+  2. suffix array of S by prefix doubling (XLA sorts), ranks per level;
+  3. LCP of SA-adjacent suffixes by binary lifting over rank levels;
+  4. who[]: SA ranks of each vocab token's suffix (src/linear.cpp:153-160);
+  5. four surviving-slot scans (left/right x prefix/suffix kind) — the
+     associative-scan reformulation of the monotone stack
+     (src/linear.cpp:161-213), yielding ALL tokens matching each text
+     suffix;
+  6. window-capped longest-match selection + the shared greedy commit
+     (ops/commit.py), identical to the Fast engine's output.
+
+Note on parity: output ids equal the Fast engine (and the reference's
+differential guarantee, tests/tests.cpp:90-97) including the probe-window
+cap — see ops/linear_match.py for the upstream edge case this fixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .core.vocab import Vocabulary
+from .ops import commit as commit_ops
+from .ops import text_features
+from .ops.linear_match import match_from_sa
+from .ops.suffix_array import _ceil_log2, lcp_from_levels, suffix_array_ranks
+
+
+class LinearEncoder:
+    """Suffix-array WordPiece encoder (host-facing, device-computing)."""
+
+    def __init__(self, vocab: Vocabulary):
+        self.vocab = vocab
+        self.max_len = max(vocab.max_len, 1)
+        # Vocab part of S and token start offsets (within the vocab part).
+        lens = vocab.lengths.astype(np.int64)
+        self._tok_lens = lens
+        parts = []
+        starts = np.zeros(vocab.size, dtype=np.int64)
+        pos = 0
+        for i in range(vocab.size):
+            starts[i] = pos
+            parts.append(vocab.word(i).astype(np.int32))
+            parts.append(np.array([1], dtype=np.int32))
+            pos += lens[i] + 1
+        self._vocab_tail = (
+            np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        )
+        self._tok_starts = starts
+        self._eligible = vocab.active
+        self._kind = np.where(
+            self._eligible, vocab.is_prefix.astype(np.int32), -1
+        )
+
+    def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
+        cps = np.asarray(cps, dtype=np.int32)
+        n = int(cps.shape[0])
+        if n == 0:
+            return np.zeros(0, dtype=np.int32)
+
+        # S = text · 1 · vocab_tail  (src/linear.cpp:87-101).
+        s_host = np.concatenate(
+            [cps, np.array([1], dtype=np.int32), self._vocab_tail]
+        )
+        n_s = s_host.shape[0]
+        if n_s > 2_000_000_000:
+            raise ValueError("64-bit suffix arrays not supported")
+
+        n_levels = _ceil_log2(n_s) + 1
+        s_dev = jnp.asarray(s_host)
+        sa, rank, levels = suffix_array_ranks(s_dev, n_levels)
+        lcp = lcp_from_levels(sa, levels, n_levels)
+
+        # who arrays indexed by SA rank.
+        rank_np = np.asarray(rank)
+        who_len = np.zeros(n_s, dtype=np.int32)
+        who_id = np.full(n_s, -1, dtype=np.int32)
+        who_kind = np.full(n_s, -1, dtype=np.int32)
+        tok_pos = (n + 1 + self._tok_starts).astype(np.int64)
+        tok_rank = rank_np[tok_pos]
+        sel = self._eligible
+        who_len[tok_rank[sel]] = self._tok_lens[sel]
+        who_id[tok_rank[sel]] = np.arange(self.vocab.size, dtype=np.int32)[sel]
+        who_kind[tok_rank[sel]] = self._kind[sel]
+
+        feats = text_features.compute_features(
+            jnp.asarray(cps), jnp.int32(n), self.max_len
+        )
+        best_id, best_len = match_from_sa(
+            rank,
+            lcp,
+            jnp.asarray(who_len),
+            jnp.asarray(who_id),
+            jnp.asarray(who_kind),
+            n,
+            feats.window,
+            feats.wp,
+            max_len=self.max_len,
+        )
+        ids, count = commit_ops.commit(
+            best_id, best_len, feats, jnp.int32(n), unk_id=int(self.vocab.unk_token_id)
+        )
+        count = int(count)
+        return np.asarray(ids[:count])

@@ -1,0 +1,128 @@
+"""Linear-engine matching: surviving-token-slot scans over SA order.
+
+The reference's get_closest (src/linear.cpp:161-213) walks the suffix
+array with a monotone stack: a vocab token (pushed at its suffix's SA
+position) survives while the running LCP minimum stays >= its length;
+the stack top at each position is the longest vocab token that prefixes
+that suffix.  Since surviving tokens are nested prefixes of the current
+suffix, the stack is at most max_len deep and is representable as a
+fixed array of slots indexed BY LENGTH — which turns the sequential
+stack walk into an associative scan:
+
+  state    = (m, slots[1..M]);  m = min LCP over the segment,
+             slots[l] = id of the surviving token of length l pushed
+             within the segment (-1 if none)
+  combine  (s1 then s2):
+      m = min(m1, m2)
+      slots[l] = s2.slots[l] if >= 0 else (s1.slots[l] if l <= s2.m)
+
+Four scans (left/right x prefix/suffix kind) as in the reference; the
+union of the four slot sets gives, per SA position, ALL vocab tokens
+matching there, so the engine can apply the probe-window cap exactly and
+reproduce the Fast engine's (canonical) semantics even for vocab tokens
+containing interior spacing characters — a case where the reference's
+linear algorithm would silently diverge from its fast one (no window
+check in match_word_piece, src/linear.cpp:221-274; the divergence is
+untested upstream because the stress vocabs are a-z only).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _combine(s1, s2):
+    m1, slots1 = s1
+    m2, slots2 = s2
+    m = jnp.minimum(m1, m2)
+    # lengths: slots[..., l-1] holds length-l token id.
+    M = slots1.shape[-1]
+    lens = jnp.arange(1, M + 1, dtype=jnp.int32)
+    keep1 = lens[None, :] <= m2[..., None]
+    slots = jnp.where(slots2 >= 0, slots2, jnp.where(keep1, slots1, -1))
+    return m, slots
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def surviving_slots(
+    lcp_edge: jax.Array,  # int32[n]: LCP between position p-1 and p (p=0 -> big)
+    push_len: jax.Array,  # int32[n]: token length pushed at p (0 = none)
+    push_id: jax.Array,  # int32[n]
+    *,
+    max_len: int,
+) -> jax.Array:
+    """Inclusive scan; returns slots int32[n, max_len]."""
+    n = lcp_edge.shape[0]
+    M = max_len
+    lens = jnp.arange(1, M + 1, dtype=jnp.int32)
+    leaf_slots = jnp.where(
+        (push_len[:, None] == lens[None, :]) & (push_len[:, None] > 0),
+        push_id[:, None],
+        -1,
+    )
+    # Leaf transition: filter(stack, <= lcp_edge) then push.
+    m0 = lcp_edge
+    _, slots = jax.lax.associative_scan(_combine, (m0, leaf_slots), axis=0)
+    return slots
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def match_from_sa(
+    rank: jax.Array,  # int32[n_s]: SA rank of every S position
+    lcp: jax.Array,  # int32[n_s]: lcp[r] between sa[r], sa[r+1]
+    who_len: jax.Array,  # int32[n_s]: at SA rank r, eligible token len (0 none)
+    who_id: jax.Array,  # int32[n_s]
+    who_kind: jax.Array,  # int32[n_s]: 1 prefix, 0 suffix (-1 none)
+    text_len: int | jax.Array,
+    window: jax.Array,  # int32[n_text]
+    wp: jax.Array,  # bool[n_text]
+    *,
+    max_len: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (best_id, best_len) per text position (canonical window-capped
+    longest match), computed from the suffix array."""
+    n_s = rank.shape[0]
+    n_text = window.shape[0]
+    big = jnp.int32(1 << 30)
+
+    # Edges: left-sweep edge entering rank r is lcp[r-1] (big at r=0);
+    # right-sweep (descending r) edge entering r is lcp[r] (big at n-1).
+    lcp_left = jnp.concatenate([jnp.full((1,), big, jnp.int32), lcp[:-1]])
+    lcp_rev = jnp.flip(lcp).at[0].set(big)  # reversed-coordinate edges
+    slots_acc = []
+    for kind in (1, 0):
+        push = who_kind == kind
+        plen = jnp.where(push, who_len, 0)
+        pid = jnp.where(push, who_id, -1)
+        left = surviving_slots(lcp_left, plen, pid, max_len=max_len)
+        right_rev = surviving_slots(
+            lcp_rev, jnp.flip(plen), jnp.flip(pid), max_len=max_len
+        )
+        right = jnp.flip(right_rev, axis=0)
+        slots_acc.append((left, right))
+
+    # Per text position: union of its kind's left/right slots, capped.
+    pos = jnp.arange(n_text, dtype=jnp.int32)
+    r_text = rank[pos]  # SA rank of each text suffix
+    lens = jnp.arange(1, max_len + 1, dtype=jnp.int32)
+
+    def best_of(slots_pair):
+        left, right = slots_pair
+        sl = left[r_text]
+        sr = right[r_text]
+        merged = jnp.where(sr >= 0, sr, sl)
+        ok = (merged >= 0) & (lens[None, :] <= window[:, None])
+        # Longest valid length.
+        best_l = jnp.max(jnp.where(ok, lens[None, :], 0), axis=1)
+        take = (lens[None, :] == best_l[:, None]) & ok
+        best_i = jnp.max(jnp.where(take, merged, -1), axis=1)
+        return best_i, best_l
+
+    id_p, len_p = best_of(slots_acc[0])
+    id_s, len_s = best_of(slots_acc[1])
+    best_id = jnp.where(wp, id_p, id_s)
+    best_len = jnp.where(wp, len_p, len_s)
+    return best_id, best_len
