@@ -54,18 +54,23 @@ def main() -> int:
 
     enc = make_encoder(vocab, engine=args.engine)
 
+    def call():
+        if hasattr(enc, "encode_bytes"):
+            return enc.encode_bytes(corpus)
+        return enc.encode_codepoints(cps)
+
     # Warmup (compile) + correctness spot check on a prefix.
     t0 = time.time()
-    ids = enc.encode_codepoints(cps)
+    ids = call()
     t_first = time.time() - t0
     if args.verbose:
         print(f"first call (compile+run): {t_first:.2f}s, {ids.shape[0]} ids", file=sys.stderr)
 
-    # End-to-end timing: codepoints in host memory -> ids on host.
+    # End-to-end timing: corpus bytes in host memory -> ids on host.
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        ids = enc.encode_codepoints(cps)
+        ids = call()
         times.append(time.time() - t0)
     t_e2e = min(times)
 

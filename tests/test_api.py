@@ -1,0 +1,113 @@
+"""Public API surface tests: encode/decode/external/CLI parity.
+
+Covers the reference surface (src/word_piece.hpp): in-memory encode,
+file encode, encodeExternal batch streaming (boundary snapping), decode
+with ## re-prefixing, and the CLI runner modes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import wordpiece_tpu as wp
+from wordpiece_tpu.core.oracle import encode_oracle_str
+from wordpiece_tpu.core.vocab import parse_vocab
+
+
+@pytest.fixture
+def tmp_corpus(tmp_path):
+    text = ("the quick brown fox jumps over the lazy dog " * 50).strip()
+    tf = tmp_path / "corpus.txt"
+    tf.write_text(text)
+    vf = tmp_path / "vocab.txt"
+    vf.write_text(
+        "\n".join(
+            ["[UNK]", "the", "quick", "brown", "fox", "jump", "##s", "over", "lazy", "dog"]
+        )
+    )
+    return str(tf), str(vf), text
+
+
+def test_encode_in_memory():
+    ids = wp.fast.encode("the dog", ["[UNK]", "the", "dog"])
+    assert ids == [1, 2]
+
+
+def test_encode_from_files(tmp_corpus):
+    tf, vf, text = tmp_corpus
+    ids = wp.fast.encode(tf, vf)
+    vocab = parse_vocab(open(vf).read().splitlines())
+    assert ids == encode_oracle_str(text, vocab)
+
+
+def test_linear_matches_fast_api(tmp_corpus):
+    tf, vf, _ = tmp_corpus
+    assert wp.linear.encode(tf, vf) == wp.fast.encode(tf, vf)
+
+
+def test_encode_external_matches_in_memory(tmp_path, tmp_corpus):
+    tf, vf, text = tmp_corpus
+    out = str(tmp_path / "ids.txt")
+    # Tiny budget to force many batches (boundary snapping must keep the
+    # id stream identical, src/fast.cpp:203-211).
+    wp.fast.encode_external(tf, vf, out, memory_limit=64)
+    got = [int(x) for x in open(out).read().split()]
+    assert got == wp.fast.encode(tf, vf)
+
+
+def test_decode_roundtrip():
+    vocab_lines = ["[UNK]", "the", "##re", "fox", "-"]
+    vocab = parse_vocab(vocab_lines)
+    toks = wp.fast.decode(vocab, [1, 2, 3, 4])
+    assert toks == ["the", "##re", "fox", "-"]
+    # Out-of-range / negative ids are skipped with a warning.
+    assert wp.fast.decode(vocab, [-1, 99, 1]) == ["the"]
+
+
+def test_write_ids_file(tmp_path):
+    out = str(tmp_path / "w.txt")
+    wp.write_ids_file(out, [1, 2, -1])
+    assert open(out).read() == "1 2 -1 "
+
+
+def test_cli_fast(tmp_corpus, tmp_path, capsys):
+    from wordpiece_tpu.cli import main
+
+    tf, vf, text = tmp_corpus
+    out = str(tmp_path / "cli.txt")
+    main(["fast", tf, vf, "--out-file", out])
+    cap = capsys.readouterr()
+    assert "Total ids" in cap.out
+    ids = [int(x) for x in open(out).read().split()]
+    assert ids == wp.fast.encode(tf, vf)
+
+
+def test_cli_external(tmp_corpus, tmp_path):
+    from wordpiece_tpu.cli import main
+
+    tf, vf, _ = tmp_corpus
+    out = str(tmp_path / "ext.txt")
+    main(["fast-external", tf, vf, "--out-file", out, "--memory-limit-mb", "50"])
+    ids = [int(x) for x in open(out).read().split()]
+    assert ids == wp.fast.encode(tf, vf)
+
+
+def test_cli_memory_floor(tmp_corpus):
+    from wordpiece_tpu.cli import main
+
+    tf, vf, _ = tmp_corpus
+    with pytest.raises(SystemExit):
+        main(["fast-external", tf, vf, "--out-file", "/tmp/x", "--memory-limit-mb", "10"])
+
+
+def test_engines_agree_on_multilingual():
+    text = "токенизация это круто 中文 mixed-case"
+    vocab = ["[UNK]", "ток", "##ени", "##за", "##ция", "это", "крут", "##о",
+             "中", "文", "mixed", "case", "-", "##case"]
+    fast_ids = wp.fast.encode(text, vocab)
+    linear_ids = wp.linear.encode(text, vocab)
+    v = parse_vocab(vocab)
+    want = encode_oracle_str(text, v)
+    assert fast_ids == want
+    assert linear_ids == want

@@ -45,7 +45,9 @@ BLOCK_ROWS = 256
 
 
 def _round_rows(n: int, multiple: int = BLOCK_ROWS) -> int:
-    return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+    n = max(multiple, ((n + multiple - 1) // multiple) * multiple)
+    # Round to a power of two to bound the number of compiled variants.
+    return 1 << (n - 1).bit_length()
 
 
 def pack_groups(mat: np.ndarray, stride: int, max_len: int) -> np.ndarray:
@@ -97,6 +99,47 @@ class WordEncoder:
 
         return jax.default_backend() not in ("cpu",)
 
+    def _run_all_buckets(self, mats: list[np.ndarray]) -> list[np.ndarray]:
+        """Run every non-empty bucket in ONE device program (single
+        host<->device round trip); returns per-bucket emit matrices."""
+        if not self._use_pallas():
+            return [
+                self._run_bucket(m, WIDTHS[b]) if m.shape[0] else None
+                for b, m in enumerate(mats)
+            ]
+        from .ops.word_kernel_pallas import word_match_commit_multi
+
+        max_len = self._statics["max_len"]
+        packed = []
+        strides = []
+        nonempty = []
+        for b, mat in enumerate(mats):
+            if mat.shape[0] == 0:
+                continue
+            nonempty.append(b)
+            strides.append(STRIDES[b])
+            packed.append(jnp.asarray(pack_groups(mat, STRIDES[b], max_len)))
+        if not packed:
+            return [None] * len(mats)
+        out_cat = np.asarray(
+            word_match_commit_multi(
+                tuple(packed),
+                self._tab_k1,
+                self._tab_k2,
+                self._tab_id,
+                strides=tuple(strides),
+                block_rows=BLOCK_ROWS,
+                **self._statics,
+            )
+        )
+        emits: list[np.ndarray | None] = [None] * len(mats)
+        row = 0
+        for b, pk in zip(nonempty, packed):
+            nrows = pk.shape[0]
+            emits[b] = unpack_emit(out_cat[row : row + nrows], STRIDES[b], mats[b].shape[0])
+            row += nrows
+        return emits
+
     def _run_bucket(self, mat: np.ndarray, width: int) -> np.ndarray:
         """mat: int32[U, width] (pad 32).  Returns emit int32[U, width]."""
         u = mat.shape[0]
@@ -144,6 +187,7 @@ class WordEncoder:
 
         # Per-unique token lists, flattened per bucket then stitched.
         n_buckets = len(WIDTHS)
+        emits = self._run_all_buckets(mats)
         flats: list[np.ndarray] = []
         bucket_row_offsets: list[np.ndarray] = []  # per bucket: int64[U_b+1]
         for b, mat in enumerate(mats):
@@ -151,7 +195,7 @@ class WordEncoder:
                 flats.append(np.zeros(0, np.int32))
                 bucket_row_offsets.append(np.zeros(1, np.int64))
                 continue
-            emit = self._run_bucket(mat, WIDTHS[b])
+            emit = emits[b]
             mask = emit != -2
             counts = mask.sum(axis=1).astype(np.int64)
             offs = np.zeros(mat.shape[0] + 1, dtype=np.int64)

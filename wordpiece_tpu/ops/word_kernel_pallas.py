@@ -145,15 +145,15 @@ def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_of
     # Sentinel lanes self-loop so the walk parks there.
     jump = jnp.where(sentinel, jnp.int32(W), step)
 
-    def walk(_, carry):
-        p, visited = carry
-        visited = visited | (local == p)
+    # Unrolled walk: Mosaic cannot relayout fori_loop carries produced by
+    # dynamic gathers (replicated-vs-varying sublane layouts), so the
+    # stride-step loop is unrolled; each step is 3 vector ops.
+    p = local * 0  # each unit starts at local position 0
+    visited_i = local * 0
+    for _ in range(stride):
+        visited_i = jnp.maximum(visited_i, (local == p).astype(jnp.int32))
         p = xbar(jump, p)
-        return p, visited
-
-    p0 = jnp.zeros((br, LANES), jnp.int32)  # local 0 = each unit's start
-    _, visited = jax.lax.fori_loop(0, stride, walk, (p0, jnp.zeros((br, LANES), bool)))
-    visited = visited & ~sentinel
+    visited = (visited_i > 0) & ~sentinel
 
     seg_start = visited & wp
     fail_here = visited & ~matched
@@ -214,3 +214,62 @@ def word_match_commit_pallas(
         ],
         out_specs=pl.BlockSpec((block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(cp, tab_k1, tab_k2, tab_id)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id", "block_rows",
+    ),
+)
+def word_match_commit_multi(
+    cps: tuple,  # tuple of int32[U_b, 128 + max_len] packed matrices
+    tab_k1: jax.Array,
+    tab_k2: jax.Array,
+    tab_id: jax.Array,
+    *,
+    strides: tuple,
+    max_len: int,
+    rows_off: tuple,
+    mult1: int,
+    mult2: int,
+    lane_salt: int,
+    unk_id: int,
+    block_rows: int = 256,
+) -> jax.Array:
+    """All width buckets in one device program and ONE output array
+    (row-concatenated): a single round trip and a single d2h transfer
+    per corpus batch."""
+    outs = []
+    for cp, stride in zip(cps, strides):
+        u_rows = cp.shape[0]
+        kernel = partial(
+            _kernel,
+            stride=stride,
+            max_len=max_len,
+            rows_off=rows_off,
+            mult1=mult1,
+            mult2=mult2,
+            lane_salt=lane_salt,
+            unk_id=unk_id,
+        )
+        outs.append(
+            pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((u_rows, LANES), jnp.int32),
+                grid=(u_rows // block_rows,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (block_rows, cp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+            )(cp, tab_k1, tab_k2, tab_id)
+        )
+    # One concatenated output => a single device->host transfer.
+    return jnp.concatenate(outs, axis=0)
