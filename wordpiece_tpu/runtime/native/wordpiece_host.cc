@@ -260,57 +260,180 @@ extern "C" {
 //   uniq_cplen[n_uniq]  decoded codepoint count
 // Returns n_occ; *n_unique_out = n_uniq.  Buffers must hold `size`
 // entries (worst case: every byte its own unit).
+namespace {
+
+// Byte classifier for the ASCII fast path: 0 = plain word byte (or UTF-8
+// lead/cont of a non-spacing char, resolved by the slow path), 1 = ASCII
+// space, 2 = ASCII punct, 3 = multi-byte or invalid (slow path).
+inline const uint8_t* byte_class_table() {
+  static uint8_t t[256];
+  static bool init = [] {
+    for (int b = 0; b < 256; b++) {
+      if (b < 0x80) {
+        uint32_t c = static_cast<uint32_t>(b);
+        if (is_space_cp(c))
+          t[b] = 1;
+        else if (is_punct_cp(c))
+          t[b] = 2;
+        else
+          t[b] = 0;
+      } else {
+        t[b] = 3;
+      }
+    }
+    return true;
+  }();
+  (void)init;
+  return t;
+}
+
+}  // namespace
+
+namespace {
+
+// Open-addressing dedupe table: far faster than unordered_map (no
+// allocation, 64-bit hash compare before memcmp).
+struct DedupeTable {
+  std::vector<uint64_t> hash;
+  std::vector<int32_t> uid;
+  size_t mask;
+  explicit DedupeTable(size_t cap_pow2) : hash(cap_pow2, 0), uid(cap_pow2, -1), mask(cap_pow2 - 1) {}
+  void grow(const uint8_t* data, const int64_t* ustart, const int32_t* ulen) {
+    DedupeTable bigger(2 * (mask + 1));
+    for (size_t s = 0; s <= mask; s++) {
+      if (uid[s] >= 0) {
+        size_t b = static_cast<size_t>(hash[s]) & bigger.mask;
+        while (bigger.uid[b] >= 0) b = (b + 1) & bigger.mask;
+        bigger.hash[b] = hash[s];
+        bigger.uid[b] = uid[s];
+      }
+    }
+    (void)data; (void)ustart; (void)ulen;
+    *this = std::move(bigger);
+  }
+};
+
+inline uint64_t fnv64(const uint8_t* p, int64_t len) {
+  uint64_t h = 1469598103934665603ull;
+  for (int64_t i = 0; i < len; i++) {
+    h ^= p[i];
+    h *= 1099511628211ull;
+  }
+  return h | 1;  // nonzero marker
+}
+
+}  // namespace
+
 int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
                           int32_t* occ_unique, int64_t* uniq_start,
                           int32_t* uniq_len, int32_t* uniq_cplen,
                           int64_t* n_unique_out) {
-  std::unordered_map<UnitKey, int32_t, UnitKeyHash> seen;
-  seen.reserve(1 << 16);
+  const uint8_t* cls = byte_class_table();
+  DedupeTable seen(1 << 16);
   int64_t n_occ = 0;
   int64_t n_uniq = 0;
   int64_t i = 0;
   while (i < size) {
-    int64_t consumed;
-    uint32_t cp = decode_one(data + i, size - i, &consumed);
-    if (cp == kInvalid || is_space_cp(cp)) {
-      i += consumed;  // invalid bytes are dropped; spaces never emit
+    // Fast path: ASCII space runs.
+    uint8_t c0 = cls[data[i]];
+    if (c0 == 1) {
+      i++;
       continue;
     }
-    const int64_t start = i;
-    int32_t cplen = 0;
-    if (is_punct_cp(cp)) {
-      i += consumed;
-      cplen = 1;
-    } else {
-      if (is_chinese_cp(cp)) {
-        i += consumed;  // leading CJK char joins the following run
-        cplen = 1;
-      }
-      while (i < size) {
-        int64_t c2;
-        uint32_t cp2 = decode_one(data + i, size - i, &c2);
-        if (cp2 == kInvalid) {
-          // Invalid bytes vanish in decode; they do NOT delimit units.
-          i += c2;
-          continue;
-        }
-        if (is_spacing_cp(cp2)) break;
-        i += c2;
+    int64_t start;
+    int32_t cplen;
+    if (c0 == 0) {
+      // ASCII word start: scan the run with the table; bail to the slow
+      // path only on multi-byte bytes.
+      start = i;
+      cplen = 0;
+      while (i < size && cls[data[i]] == 0) {
+        i++;
         cplen++;
       }
+      if (i < size && cls[data[i]] == 3) {
+        // Mixed multi-byte run: continue with full decoding.
+        while (i < size) {
+          int64_t c2;
+          uint32_t cp2 = decode_one(data + i, size - i, &c2);
+          if (cp2 == kInvalid) {
+            i += c2;  // invalid bytes vanish; they do not delimit units
+            continue;
+          }
+          if (is_spacing_cp(cp2)) break;
+          i += c2;
+          cplen++;
+        }
+      }
+    } else if (c0 == 2) {
+      start = i;
+      cplen = 1;
+      i++;
+    } else {
+      // Multi-byte (or invalid) first char: full decode.
+      int64_t consumed;
+      uint32_t cp = decode_one(data + i, size - i, &consumed);
+      if (cp == kInvalid || is_space_cp(cp)) {
+        i += consumed;
+        continue;
+      }
+      start = i;
+      cplen = 0;
+      if (is_punct_cp(cp)) {
+        i += consumed;
+        cplen = 1;
+      } else {
+        if (is_chinese_cp(cp)) {
+          i += consumed;  // leading CJK char joins the following run
+          cplen = 1;
+        }
+        while (i < size) {
+          uint8_t cc = cls[data[i]];
+          if (cc == 0) {  // ASCII word bytes: table fast path
+            i++;
+            cplen++;
+            continue;
+          }
+          if (cc == 1 || cc == 2) break;  // ASCII space/punct delimits
+          int64_t c2;
+          uint32_t cp2 = decode_one(data + i, size - i, &c2);
+          if (cp2 == kInvalid) {
+            i += c2;
+            continue;
+          }
+          if (is_spacing_cp(cp2)) break;
+          i += c2;
+          cplen++;
+        }
+      }
     }
-    UnitKey key{data + start, static_cast<int32_t>(i - start)};
-    auto it = seen.find(key);
-    int32_t uid;
-    if (it == seen.end()) {
+    const int32_t klen = static_cast<int32_t>(i - start);
+    const uint64_t h = fnv64(data + start, klen);
+    size_t b = static_cast<size_t>(h) & seen.mask;
+    int32_t uid = -1;
+    while (seen.uid[b] >= 0) {
+      if (seen.hash[b] == h) {
+        const int32_t cand = seen.uid[b];
+        if (uniq_len[cand] == klen &&
+            std::memcmp(data + uniq_start[cand], data + start,
+                        static_cast<size_t>(klen)) == 0) {
+          uid = cand;
+          break;
+        }
+      }
+      b = (b + 1) & seen.mask;
+    }
+    if (uid < 0) {
       uid = static_cast<int32_t>(n_uniq);
-      seen.emplace(key, uid);
       uniq_start[n_uniq] = start;
-      uniq_len[n_uniq] = key.len;
+      uniq_len[n_uniq] = klen;
       uniq_cplen[n_uniq] = cplen;
       n_uniq++;
-    } else {
-      uid = it->second;
+      seen.hash[b] = h;
+      seen.uid[b] = uid;
+      if (static_cast<size_t>(n_uniq) * 2 > seen.mask) {
+        seen.grow(data, uniq_start, uniq_len);
+      }
     }
     occ_unique[n_occ++] = uid;
   }
