@@ -61,3 +61,24 @@ def test_sharded_equals_oracle(n_shards):
 
 def test_eight_device_mesh_available():
     assert len(jax.devices()) == 8
+
+
+def test_sharded_word_encoder_matches_oracle():
+    from wordpiece_tpu.parallel.word_sharding import ShardedWordEncoder
+    from wordpiece_tpu.runtime import loader
+    from wordpiece_tpu.core.oracle import encode_oracle_str
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    rng = np.random.default_rng(4)
+    words = ["".join(rng.choice(list("abcdefg"), size=int(rng.integers(1, 10)))) for _ in range(60)]
+    text = " ".join(rng.choice(words) for _ in range(500)) + " 中文 mix-ed"
+    vocab_lines = sorted(
+        {w[:2] for w in words} | {"##" + w[2:] for w in words if len(w) > 2}
+        | {"##" + c for c in "abcdefg"} | set("abcdefg") | {"中", "文", "mix", "##ed", "-"}
+    )
+    vocab = parse_vocab(vocab_lines)
+    enc = ShardedWordEncoder(vocab)
+    got = enc.encode_bytes(text.encode()).tolist()
+    want = encode_oracle_str(text, vocab)
+    assert got == want

@@ -14,6 +14,25 @@ Public surface:
     wordpiece_tpu.Vocabulary / parse_vocab / read_vocab_file
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: kernel compiles through the remote
+# TPU compiler take tens of seconds; cache them across processes.
+# Opt out with WORDPIECE_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "wordpiece_tpu_xla"),
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .api import fast, linear, make_encoder, write_ids_file
 from .core.vocab import Vocabulary, parse_vocab, read_vocab_file
 

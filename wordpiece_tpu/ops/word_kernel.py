@@ -185,5 +185,8 @@ def word_match_commit(
     killed = visited & (next_fail < next_seg_after)
 
     emit = visited & ((matched & ~killed) | (seg_start & killed))
+    # Empty (all-space pad) rows emit nothing (real units never start
+    # with a space).
+    emit = emit & ~space[:, :1]
     emit_val = jnp.where(killed, jnp.int32(unk_id), best_id)
     return jnp.where(emit, emit_val, jnp.int32(-2))

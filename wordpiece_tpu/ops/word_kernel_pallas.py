@@ -164,6 +164,10 @@ def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_of
     killed = visited & (next_fail < next_seg_after)
 
     emit = visited & ((matched & ~killed) | (seg_start & killed))
+    # Empty (all-space pad) units must emit nothing: a real unit never
+    # starts with a space, so suppress groups whose first char is one.
+    start_space = jnp.take_along_axis(space.astype(jnp.int32), gbase, axis=1) > 0
+    emit = emit & ~start_space
     emit_val = jnp.where(killed, jnp.int32(unk_id), best_id)
     out_ref[:] = jnp.where(emit, emit_val, jnp.int32(-2))
 
@@ -220,6 +224,7 @@ def word_match_commit_pallas(
     jax.jit,
     static_argnames=(
         "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id", "block_rows",
+        "interpret",
     ),
 )
 def word_match_commit_multi(
@@ -236,6 +241,7 @@ def word_match_commit_multi(
     lane_salt: int,
     unk_id: int,
     block_rows: int = 256,
+    interpret: bool = False,
 ) -> jax.Array:
     """All width buckets in one device program and ONE output array
     (row-concatenated): a single round trip and a single d2h transfer
@@ -269,6 +275,7 @@ def word_match_commit_multi(
                 out_specs=pl.BlockSpec(
                     (block_rows, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
                 ),
+                interpret=interpret,
             )(cp, tab_k1, tab_k2, tab_id)
         )
     # One concatenated output => a single device->host transfer.
