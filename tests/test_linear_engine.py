@@ -11,11 +11,7 @@ from wordpiece_tpu.core import unicode as uni
 from wordpiece_tpu.core.oracle import encode_oracle
 from wordpiece_tpu.core.vocab import parse_vocab
 from wordpiece_tpu.engine_linear import LinearEncoder
-from wordpiece_tpu.ops.suffix_array import (
-    _ceil_log2,
-    lcp_from_levels,
-    suffix_array_ranks,
-)
+from wordpiece_tpu.ops.suffix_array import lcp_clamped, suffix_array
 
 UNK = -1
 
@@ -42,12 +38,14 @@ def test_suffix_array_and_lcp(seed, n):
     s = rng.integers(1, 5, size=n).astype(np.int32)
     import jax.numpy as jnp
 
-    n_levels = _ceil_log2(n) + 1
-    sa, rank, levels = suffix_array_ranks(jnp.asarray(s), n_levels)
+    sa, rank = suffix_array(jnp.asarray(s))
     want_sa = ref_suffix_array(s.tolist())
     np.testing.assert_array_equal(np.asarray(sa), want_sa)
-    lcp = lcp_from_levels(sa, levels, n_levels)
-    np.testing.assert_array_equal(np.asarray(lcp), ref_lcp(s.tolist(), want_sa))
+    clamp = 9
+    lcp = lcp_clamped(jnp.asarray(s), sa, clamp=clamp)
+    np.testing.assert_array_equal(
+        np.asarray(lcp), np.minimum(ref_lcp(s.tolist(), want_sa), clamp)
+    )
 
 
 def run_linear(text: str, vocab_lines):

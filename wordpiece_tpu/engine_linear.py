@@ -4,8 +4,9 @@ re-architected for TPU (SURVEY.md §7 step 5).
 Pipeline (mirrors src/linear.cpp:72-319 semantically):
   1. S = text · 1 · tok_1 · 1 · … · tok_k · 1  (separator 1, layout at
      src/linear.cpp:87-101);
-  2. suffix array of S by prefix doubling (XLA sorts), ranks per level;
-  3. LCP of SA-adjacent suffixes by binary lifting over rank levels;
+  2. suffix array of S by prefix doubling (XLA sorts, early exit);
+  3. LCP of SA-adjacent suffixes, clamped at max_len (direct compare —
+     exact for the sweeps, which never distinguish LCPs above max_len);
   4. who[]: SA ranks of each vocab token's suffix (src/linear.cpp:153-160);
   5. four surviving-slot scans (left/right x prefix/suffix kind) — the
      associative-scan reformulation of the monotone stack
@@ -29,7 +30,7 @@ from .core.vocab import Vocabulary
 from .ops import commit as commit_ops
 from .ops import text_features
 from .ops.linear_match import match_from_sa
-from .ops.suffix_array import _ceil_log2, lcp_from_levels, suffix_array_ranks
+from .ops.suffix_array import lcp_clamped, suffix_array
 
 
 class LinearEncoder:
@@ -72,10 +73,11 @@ class LinearEncoder:
         if n_s > 2_000_000_000:
             raise ValueError("64-bit suffix arrays not supported")
 
-        n_levels = _ceil_log2(n_s) + 1
         s_dev = jnp.asarray(s_host)
-        sa, rank, levels = suffix_array_ranks(s_dev, n_levels)
-        lcp = lcp_from_levels(sa, levels, n_levels)
+        sa, rank = suffix_array(s_dev)
+        # Clamped LCP suffices: the sweeps compare it only against token
+        # lengths <= max_len (see ops/suffix_array.py).
+        lcp = lcp_clamped(s_dev, sa, clamp=self.max_len)
 
         # who arrays indexed by SA rank.
         rank_np = np.asarray(rank)
