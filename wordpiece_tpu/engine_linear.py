@@ -65,13 +65,22 @@ class LinearEncoder:
         if n == 0:
             return np.zeros(0, dtype=np.int32)
 
-        # S = text · 1 · vocab_tail  (src/linear.cpp:87-101).
-        s_host = np.concatenate(
-            [cps, np.array([1], dtype=np.int32), self._vocab_tail]
-        )
-        n_s = s_host.shape[0]
-        if n_s > 2_000_000_000:
+        # S = text · 1 · vocab_tail  (src/linear.cpp:87-101), padded to a
+        # power of two with strictly increasing sentinels above the
+        # alphabet: pad suffixes sort among themselves, never share a
+        # prefix with anything (distinct values), and push no tokens, so
+        # results for text positions are unchanged while compiled shapes
+        # are reused across corpus sizes (XLA sort compile time scales
+        # with n, so shape bucketing is essential).
+        s_core = np.concatenate([cps, np.array([1], dtype=np.int32), self._vocab_tail])
+        n_core = s_core.shape[0]
+        if n_core > 1_000_000_000:
             raise ValueError("64-bit suffix arrays not supported")
+        n_s = max(128, 1 << (n_core - 1).bit_length())
+        pad_base = int(max(int(s_core.max()), 0x110000)) + 1
+        s_host = np.concatenate(
+            [s_core, pad_base + np.arange(n_s - n_core, dtype=np.int32)]
+        ).astype(np.int32)
 
         s_dev = jnp.asarray(s_host)
         sa, rank = suffix_array(s_dev)
@@ -91,8 +100,13 @@ class LinearEncoder:
         who_id[tok_rank[sel]] = np.arange(self.vocab.size, dtype=np.int32)[sel]
         who_kind[tok_rank[sel]] = self._kind[sel]
 
+        # Text padded to a power of two as well (pad = space: skipped by
+        # the walk, emits nothing) so features/match/commit shapes bucket.
+        n_text_pad = max(128, 1 << (n - 1).bit_length())
+        cps_pad = np.full(n_text_pad, 32, dtype=np.int32)
+        cps_pad[:n] = cps
         feats = text_features.compute_features(
-            jnp.asarray(cps), jnp.int32(n), self.max_len
+            jnp.asarray(cps_pad), jnp.int32(n), self.max_len
         )
         best_id, best_len = match_from_sa(
             rank,

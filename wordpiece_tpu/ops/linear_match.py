@@ -105,8 +105,10 @@ def match_from_sa(
         slots_acc.append((left, right))
 
     # Per text position: union of its kind's left/right slots, capped.
+    # Positions beyond the true text (space padding) read clamped garbage
+    # ranks; the commit phase never visits them.
     pos = jnp.arange(n_text, dtype=jnp.int32)
-    r_text = rank[pos]  # SA rank of each text suffix
+    r_text = rank[jnp.minimum(pos, jnp.int32(n_s - 1))]  # SA rank per text suffix
     lens = jnp.arange(1, max_len + 1, dtype=jnp.int32)
 
     def best_of(slots_pair):
