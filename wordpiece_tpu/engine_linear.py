@@ -59,11 +59,35 @@ class LinearEncoder:
             self._eligible, vocab.is_prefix.astype(np.int32), -1
         )
 
+    # Max text codepoints per internal SA batch.  The reference also
+    # batches its linear algorithm (memory_limit/20 "because of SAIS",
+    # src/linear.cpp:349); here the bound keeps the XLA sort size (and
+    # its compile-time/memory, which scale with n) in check.  Batches
+    # split at spaces, so the id stream is exactly the concatenation.
+    MAX_TEXT_BATCH = 1 << 18
+
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         cps = np.asarray(cps, dtype=np.int32)
         n = int(cps.shape[0])
         if n == 0:
             return np.zeros(0, dtype=np.int32)
+        if n > self.MAX_TEXT_BATCH:
+            from .core import unicode as uni
+
+            space = np.asarray(uni.is_space(cps.astype(np.uint32)))
+            outs = []
+            begin = 0
+            while begin < n:
+                end = min(n, begin + self.MAX_TEXT_BATCH)
+                while end < n and not space[end]:
+                    end += 1
+                outs.append(self._encode_batch(cps[begin:end]))
+                begin = end
+            return np.concatenate(outs) if outs else np.zeros(0, np.int32)
+        return self._encode_batch(cps)
+
+    def _encode_batch(self, cps: np.ndarray) -> np.ndarray:
+        n = int(cps.shape[0])
 
         # S = text · 1 · vocab_tail  (src/linear.cpp:87-101), padded to a
         # power of two with strictly increasing sentinels above the
