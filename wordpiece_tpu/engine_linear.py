@@ -59,12 +59,22 @@ class LinearEncoder:
             self._eligible, vocab.is_prefix.astype(np.int32), -1
         )
 
-    # Max text codepoints per internal SA batch.  The reference also
-    # batches its linear algorithm (memory_limit/20 "because of SAIS",
+    # Max |S| per internal SA batch.  The reference also batches its
+    # linear algorithm (memory_limit/20 "because of SAIS",
     # src/linear.cpp:349); here the bound keeps the XLA sort size (and
-    # its compile-time/memory, which scale with n) in check.  Batches
+    # its compile time/memory, which scale with n) in check.  Batches
     # split at spaces, so the id stream is exactly the concatenation.
-    MAX_TEXT_BATCH = 1 << 18
+    MAX_S = 1 << 18
+
+    @property
+    def MAX_TEXT_BATCH(self) -> int:
+        if getattr(self, "_max_text_batch", None) is not None:
+            return self._max_text_batch
+        return max(1 << 15, self.MAX_S - int(self._vocab_tail.shape[0]) - 64)
+
+    @MAX_TEXT_BATCH.setter
+    def MAX_TEXT_BATCH(self, v: int) -> None:
+        self._max_text_batch = v
 
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         cps = np.asarray(cps, dtype=np.int32)
