@@ -1,0 +1,71 @@
+"""Scale conformance: every engine vs the native scalar oracle on
+multilingual corpora (en/ru/ja/zh synthetic, UNK-heavy CJK), mirroring
+the reference's conformance corpus strategy (BASELINE.json config 3).
+"""
+
+import numpy as np
+import pytest
+
+from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+from wordpiece_tpu.core import unicode as uni
+from wordpiece_tpu.core.vocab import parse_vocab
+from wordpiece_tpu.runtime import loader
+
+pytestmark = pytest.mark.skipif(not loader.available(), reason="native runtime required")
+
+SIZE = 120_000  # bytes per language (CPU-test sized)
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    out = {}
+    for lang in ("en", "ru", "ja", "zh"):
+        corpus = make_corpus(SIZE, lang=lang)
+        vocab = parse_vocab(make_vocab(corpus, vocab_size=8000))
+        out[lang] = (corpus, vocab)
+    return out
+
+
+@pytest.mark.parametrize("lang", ["en", "ru", "ja", "zh"])
+def test_word_engine_conformance(corpora, lang):
+    from wordpiece_tpu.engine_word import WordEncoder
+
+    corpus, vocab = corpora[lang]
+    handle = loader.VocabHandle(vocab)
+    want = handle.encode(uni.decode_utf8(corpus))
+    got = WordEncoder(vocab).encode_bytes(corpus)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("lang", ["en", "zh"])
+def test_stream_engine_conformance(corpora, lang):
+    from wordpiece_tpu.engine import FastEncoder
+
+    corpus, vocab = corpora[lang]
+    handle = loader.VocabHandle(vocab)
+    cps = uni.decode_utf8(corpus)
+    want = handle.encode(cps)
+    got = FastEncoder(vocab).encode_codepoints(cps.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("lang", ["en"])
+def test_linear_engine_conformance(corpora, lang):
+    from wordpiece_tpu.engine_linear import LinearEncoder
+
+    corpus, vocab = corpora[lang]
+    handle = loader.VocabHandle(vocab)
+    cps = uni.decode_utf8(corpus)
+    want = handle.encode(cps)
+    enc = LinearEncoder(vocab)
+    enc.MAX_TEXT_BATCH = 40_000  # exercise internal batching
+    got = enc.encode_codepoints(cps.astype(np.int32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_python_oracle_agrees_with_native(corpora):
+    from wordpiece_tpu.core.oracle import encode_oracle
+
+    corpus, vocab = corpora["en"]
+    cps = uni.decode_utf8(corpus[:20000])
+    assert encode_oracle(cps, vocab) == loader.VocabHandle(vocab).encode(cps).tolist()

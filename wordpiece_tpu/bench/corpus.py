@@ -53,7 +53,11 @@ def make_corpus(size_bytes: int, seed: int = 17, lang: str = "en") -> bytes:
     extra: list[str] = []
     if lang == "ru":
         letters = np.array(list("оеаинтсрвлкмдпуяызбгчйхжшюцщэфъё"))
-        extra = ["".join(rng.choice(letters, size=int(l))) for l in np.clip(rng.poisson(5.2, 4000) + 1, 1, 14)]
+        lens = np.clip(rng.poisson(5.2, 4000) + 1, 1, 14)
+        picks = rng.integers(0, letters.shape[0], size=int(lens.sum()))
+        joined = "".join(letters[picks])
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        extra = [joined[offs[i]:offs[i+1]] for i in range(4000)]
     elif lang == "zh":
         cps = rng.integers(0x4E00, 0x9FFF, size=4000)
         extra = [chr(int(c)) for c in cps]
@@ -65,17 +69,32 @@ def make_corpus(size_bytes: int, seed: int = 17, lang: str = "en") -> bytes:
     parts: list[str] = []
     total = 0
     punct = [",", ".", "!", "?", ";", "-", ":"]
+    word_arr = np.array(words)
+    extra_arr = np.array(extra) if extra else None
+    # Draw in large vectorized batches; assemble sentences from slices.
     while total < size_bytes + 1024:
-        k = int(rng.integers(8, 18))
-        sent = rng.choice(words, size=k, p=p).tolist()
-        if extra and rng.random() < (0.5 if lang != "en" else 0.0):
-            sent = [extra[int(rng.integers(0, len(extra)))] for _ in range(k)]
-        if rng.random() < 0.6:
-            pos = int(rng.integers(1, k))
-            sent.insert(pos, punct[int(rng.integers(0, len(punct)))])
-        s = " ".join(sent) + punct[int(rng.integers(0, 3))] + "\n"
-        parts.append(s)
-        total += len(s.encode("utf-8"))
+        ks = rng.integers(8, 18, size=512)
+        n_draw = int(ks.sum())
+        draw = word_arr[rng.choice(len(words), size=n_draw, p=p)]
+        use_extra = extra_arr is not None and lang != "en"
+        if use_extra:
+            edraw = extra_arr[rng.integers(0, len(extra_arr), size=n_draw)]
+            which = rng.random(size=512) < 0.5
+        off = 0
+        for si in range(512):
+            k = int(ks[si])
+            if use_extra and which[si]:
+                sent = edraw[off : off + k].tolist()
+            else:
+                sent = draw[off : off + k].tolist()
+            off += k
+            if rng.random() < 0.6:
+                sent.insert(int(rng.integers(1, k)), punct[int(rng.integers(0, len(punct)))])
+            line = " ".join(sent) + punct[int(rng.integers(0, 3))] + "\n"
+            parts.append(line)
+            total += len(line.encode("utf-8"))
+            if total >= size_bytes + 1024:
+                break
     data = "".join(parts).encode("utf-8")[:size_bytes]
     # Don't cut mid-codepoint: trim trailing continuation bytes.
     while data and (data[-1] & 0xC0) == 0x80:
