@@ -53,6 +53,10 @@ def main() -> int:
         print(f"host utf8 decode: {t_decode:.3f}s ({size_bytes/t_decode/1e6:.0f} MB/s)", file=sys.stderr)
 
     enc = make_encoder(vocab, engine=args.engine)
+    if args.verbose and hasattr(enc, "stats"):
+        from wordpiece_tpu.utils.profiling import StageStats
+
+        enc.stats = StageStats()
 
     def call():
         if hasattr(enc, "encode_bytes"):
@@ -87,6 +91,9 @@ def main() -> int:
             f"{value/1e6:.1f} MB/s  vs_baseline={result['vs_baseline']}x",
             file=sys.stderr,
         )
+        if getattr(enc, "stats", None) is not None:
+            print("stage breakdown (cumulative):", file=sys.stderr)
+            print(enc.stats.dump(), file=sys.stderr)
     print(json.dumps(result))
     return 0
 

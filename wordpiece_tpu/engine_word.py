@@ -84,6 +84,7 @@ class WordEncoder:
         self._tab_k2 = jnp.asarray(self.tables.k2)
         self._tab_id = jnp.asarray(self.tables.tid)
         self._scalar = loader.VocabHandle(vocab)
+        self.stats = None  # optional utils.profiling.StageStats
         self._statics = dict(
             max_len=int(self.tables.max_len),
             rows_off=tuple(self.tables.rows_off),
@@ -174,20 +175,29 @@ class WordEncoder:
 
     # -- host orchestration ------------------------------------------------
     def encode_bytes(self, data: bytes) -> np.ndarray:
+        import contextlib
+
+        st = self.stats
+        def stage(name, nbytes=0):
+            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
+
         if len(data) == 0:
             return np.zeros(0, dtype=np.int32)
-        occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
+        with stage("host_segment_dedupe", len(data)):
+            occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
         nu = ustart.shape[0]
         if nu == 0:
             return np.zeros(0, dtype=np.int32)
 
-        mats, bucket_of, row_of = loader.bucket_fill(
-            data, ustart, ulen, ucplen, list(WIDTHS)
-        )
+        with stage("host_bucket_fill"):
+            mats, bucket_of, row_of = loader.bucket_fill(
+                data, ustart, ulen, ucplen, list(WIDTHS)
+            )
 
         # Per-unique token lists, flattened per bucket then stitched.
         n_buckets = len(WIDTHS)
-        emits = self._run_all_buckets(mats)
+        with stage("device_match_commit", len(data)):
+            emits = self._run_all_buckets(mats)
         flats: list[np.ndarray] = []
         bucket_row_offsets: list[np.ndarray] = []  # per bucket: int64[U_b+1]
         for b, mat in enumerate(mats):
@@ -260,7 +270,8 @@ class WordEncoder:
                 d[first_pos[1:]] = su[1:] - (su[:-1] + ln[:-1]) + 1
             order_flat[:] = tok_flat[np.cumsum(d)]
 
-        out = loader.expand(occ, order_flat, offsets)
+        with stage("host_expand"):
+            out = loader.expand(occ, order_flat, offsets)
         return out if out is not None else np.zeros(0, np.int32)
 
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
