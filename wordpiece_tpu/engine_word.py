@@ -75,10 +75,24 @@ def unpack_emit(emit: np.ndarray, stride: int, n_units: int) -> np.ndarray:
 class WordEncoder:
     """Deduped unit encoder (the production fast path)."""
 
-    def __init__(self, vocab: Vocabulary, tables: LengthTables | None = None):
+    def __init__(
+        self,
+        vocab: Vocabulary,
+        tables: LengthTables | None = None,
+        *,
+        verify: bool = True,
+    ):
+        """verify=True (default) cross-checks every emitted token's string
+        against the vocabulary on host (cheap: only unique units) and
+        re-encodes any mismatching unit with the native scalar oracle.
+        This catches any hash collision that surfaces as an emitted
+        token; the residual risk (a collision at a never-emitted position
+        perturbing only UNK placement) stays at ~2^-64 per probe."""
         if not loader.available():
             raise RuntimeError("word engine requires the native host runtime")
         self.vocab = vocab
+        self.verify = verify
+        self._padded_vocab = None  # lazy (packed strings for verification)
         self.tables = tables if tables is not None else build_length_tables(vocab)
         self._tab_k1 = jnp.asarray(self.tables.k1)
         self._tab_k2 = jnp.asarray(self.tables.k2)
@@ -173,6 +187,49 @@ class WordEncoder:
         )
         return np.asarray(emit[:u])
 
+    def _verify_emit(self, mat: np.ndarray, emit: np.ndarray) -> np.ndarray:
+        """Check every emitted non-UNK token's string against the vocab;
+        returns `emit` (or a repaired copy) with mismatching units
+        re-encoded by the scalar oracle."""
+        if self._padded_vocab is None:
+            self._padded_vocab = self.vocab.padded(width=max(self.vocab.max_len, 1))
+        padded, plens = self._padded_vocab
+        unk = self._statics["unk_id"]
+        rr, jj = np.nonzero(emit != -2)
+        if rr.size == 0:
+            return
+        tid = emit[rr, jj]
+        chk = tid != unk
+        rr_c, jj_c, tid_c = rr[chk], jj[chk], tid[chk]
+        bad_rows: set[int] = set()
+        oob = (tid_c < 0) | (tid_c >= self.vocab.size)
+        if oob.any():
+            bad_rows.update(rr_c[oob].tolist())
+            keep = ~oob
+            rr_c, jj_c, tid_c = rr_c[keep], jj_c[keep], tid_c[keep]
+        if rr_c.size:
+            lens = plens[tid_c].astype(np.int64)
+            W = mat.shape[1]
+            for k in range(padded.shape[1]):
+                act = k < lens
+                if not act.any():
+                    break
+                col = np.minimum(jj_c + k, W - 1)
+                got = mat[rr_c, col]
+                want = padded[tid_c, k]
+                mism = act & ((got != want) | (jj_c + k >= W))
+                if mism.any():
+                    bad_rows.update(rr_c[mism].tolist())
+        if bad_rows:  # pragma: no cover - requires a hash collision
+            emit = emit.copy()
+            for r in bad_rows:
+                row = mat[r]
+                cps = row[row != 32].astype(np.uint32)
+                ids = self._scalar.encode(cps)
+                emit[r, :] = -2
+                emit[r, : ids.shape[0]] = ids
+        return emit
+
     # -- host orchestration ------------------------------------------------
     def encode_bytes(self, data: bytes) -> np.ndarray:
         import contextlib
@@ -198,6 +255,11 @@ class WordEncoder:
         n_buckets = len(WIDTHS)
         with stage("device_match_commit", len(data)):
             emits = self._run_all_buckets(mats)
+        if self.verify:
+            with stage("host_verify"):
+                for b, mat in enumerate(mats):
+                    if mat.shape[0]:
+                        emits[b] = self._verify_emit(mat, emits[b])
         flats: list[np.ndarray] = []
         bucket_row_offsets: list[np.ndarray] = []  # per bucket: int64[U_b+1]
         for b, mat in enumerate(mats):
