@@ -114,14 +114,15 @@ class WordEncoder:
 
         return jax.default_backend() not in ("cpu",)
 
-    def _run_all_buckets(self, mats: list[np.ndarray]) -> list[np.ndarray]:
-        """Run every non-empty bucket in ONE device program (single
-        host<->device round trip); returns per-bucket emit matrices."""
+    def _dispatch_buckets(self, mats: list[np.ndarray]):
+        """Start the device program for all non-empty buckets (async under
+        jax dispatch); returns an opaque handle for _fetch_buckets."""
         if not self._use_pallas():
-            return [
+            emits = [
                 self._run_bucket(m, WIDTHS[b]) if m.shape[0] else None
                 for b, m in enumerate(mats)
             ]
+            return ("sync", emits)
         from .ops.word_kernel_pallas import word_match_commit_multi
 
         max_len = self._statics["max_len"]
@@ -135,25 +136,36 @@ class WordEncoder:
             strides.append(STRIDES[b])
             packed.append(jnp.asarray(pack_groups(mat, STRIDES[b], max_len)))
         if not packed:
-            return [None] * len(mats)
-        out_cat = np.asarray(
-            word_match_commit_multi(
-                tuple(packed),
-                self._tab_k1,
-                self._tab_k2,
-                self._tab_id,
-                strides=tuple(strides),
-                block_rows=BLOCK_ROWS,
-                **self._statics,
-            )
+            return ("sync", [None] * len(mats))
+        out_dev = word_match_commit_multi(
+            tuple(packed),
+            self._tab_k1,
+            self._tab_k2,
+            self._tab_id,
+            strides=tuple(strides),
+            block_rows=BLOCK_ROWS,
+            **self._statics,
         )
-        emits: list[np.ndarray | None] = [None] * len(mats)
+        rows = [pk.shape[0] for pk in packed]
+        sizes = [mats[b].shape[0] for b in nonempty]
+        return ("async", out_dev, nonempty, rows, sizes, len(mats))
+
+    def _fetch_buckets(self, handle) -> list[np.ndarray]:
+        if handle[0] == "sync":
+            return handle[1]
+        _, out_dev, nonempty, rows, sizes, n_mats = handle
+        out_cat = np.asarray(out_dev)
+        emits: list[np.ndarray | None] = [None] * n_mats
         row = 0
-        for b, pk in zip(nonempty, packed):
-            nrows = pk.shape[0]
-            emits[b] = unpack_emit(out_cat[row : row + nrows], STRIDES[b], mats[b].shape[0])
+        for b, nrows, n_units in zip(nonempty, rows, sizes):
+            emits[b] = unpack_emit(out_cat[row : row + nrows], STRIDES[b], n_units)
             row += nrows
         return emits
+
+    def _run_all_buckets(self, mats: list[np.ndarray]) -> list[np.ndarray]:
+        """Run every non-empty bucket in ONE device program (single
+        host<->device round trip); returns per-bucket emit matrices."""
+        return self._fetch_buckets(self._dispatch_buckets(mats))
 
     def _run_bucket(self, mat: np.ndarray, width: int) -> np.ndarray:
         """mat: int32[U, width] (pad 32).  Returns emit int32[U, width]."""
@@ -230,8 +242,37 @@ class WordEncoder:
                 emit[r, : ids.shape[0]] = ids
         return emit
 
-    # -- host orchestration ------------------------------------------------
+    # Chunk size for the pipelined path: host segmentation of chunk k+1
+    # overlaps the (async-dispatched) device program of chunk k.
+    PIPELINE_CHUNK = 4_000_000
+
     def encode_bytes(self, data: bytes) -> np.ndarray:
+        if len(data) <= self.PIPELINE_CHUNK:
+            return self._encode_chunk(data)
+        # Split at ASCII-space boundaries (units never span spaces).
+        chunks = []
+        begin = 0
+        n = len(data)
+        while begin < n:
+            end = min(n, begin + self.PIPELINE_CHUNK)
+            while end < n and data[end] != 0x20:
+                end += 1
+            chunks.append(data[begin:end])
+            begin = end
+        outs = []
+        prev = None
+        for chunk in chunks:
+            state = self._prepare_chunk(chunk)  # host; overlaps device(prev)
+            if prev is not None:
+                outs.append(self._finish_chunk(*prev))
+            prev = (chunk, state)
+        if prev is not None:
+            outs.append(self._finish_chunk(*prev))
+        outs = [o for o in outs if o.size]
+        return np.concatenate(outs) if outs else np.zeros(0, np.int32)
+
+    # -- host orchestration ------------------------------------------------
+    def _encode_chunk(self, data: bytes) -> np.ndarray:
         import contextlib
 
         st = self.stats
@@ -240,21 +281,47 @@ class WordEncoder:
 
         if len(data) == 0:
             return np.zeros(0, dtype=np.int32)
+        return self._finish_chunk(data, self._prepare_chunk(data))
+
+    def _prepare_chunk(self, data: bytes):
+        """Host phases + async device dispatch for one chunk."""
+        import contextlib
+
+        st = self.stats
+        def stage(name, nbytes=0):
+            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
+
+        if len(data) == 0:
+            return None
         with stage("host_segment_dedupe", len(data)):
             occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
-        nu = ustart.shape[0]
-        if nu == 0:
-            return np.zeros(0, dtype=np.int32)
-
+        if ustart.shape[0] == 0:
+            return None
         with stage("host_bucket_fill"):
             mats, bucket_of, row_of = loader.bucket_fill(
                 data, ustart, ulen, ucplen, list(WIDTHS)
             )
+        with stage("device_dispatch"):
+            handle = self._dispatch_buckets(mats)
+        return (occ, ustart, ulen, mats, bucket_of, row_of, handle)
+
+    def _finish_chunk(self, data: bytes, state) -> np.ndarray:
+        """Fetch device results for one chunk, verify, stitch, expand."""
+        import contextlib
+
+        st = self.stats
+        def stage(name, nbytes=0):
+            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
+
+        if state is None:
+            return np.zeros(0, dtype=np.int32)
+        occ, ustart, ulen, mats, bucket_of, row_of, handle = state
+        nu = ustart.shape[0]
 
         # Per-unique token lists, flattened per bucket then stitched.
         n_buckets = len(WIDTHS)
-        with stage("device_match_commit", len(data)):
-            emits = self._run_all_buckets(mats)
+        with stage("device_fetch", len(data)):
+            emits = self._fetch_buckets(handle)
         if self.verify:
             with stage("host_verify"):
                 for b, mat in enumerate(mats):
