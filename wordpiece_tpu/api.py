@@ -98,7 +98,10 @@ class _EngineNamespace:
         """
         v = _as_vocab(vocab_file)
         enc = self._encoder(v)
-        max_batch = max(memory_limit // 2, 1)
+        # Reference budgets: /2 for fast (src/fast.cpp:195), /20 for
+        # linear "because of SAIS" (src/linear.cpp:349).
+        divisor = 20 if self._engine_name == "linear" else 2
+        max_batch = max(memory_limit // divisor, 1)
         with open(text_file, "rb") as f:
             data = f.read()
         size = len(data)

@@ -243,8 +243,12 @@ class WordEncoder:
         return emit
 
     # Chunk size for the pipelined path: host segmentation of chunk k+1
-    # overlaps the (async-dispatched) device program of chunk k.
-    PIPELINE_CHUNK = 4_000_000
+    # overlaps the (async-dispatched) device program of chunk k.  Large on
+    # purpose: dedupe is per chunk, so small chunks forfeit the global
+    # dedupe win (measured: 4MB chunks tripled device work on a 10MB
+    # Zipfian corpus).  At 48MB per chunk the chunk-local unique set is
+    # close to saturated and overlap is nearly free.
+    PIPELINE_CHUNK = 48_000_000
 
     def encode_bytes(self, data: bytes) -> np.ndarray:
         if len(data) <= self.PIPELINE_CHUNK:
