@@ -81,6 +81,8 @@ class _EngineNamespace:
             raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
         v = _as_vocab(vocab)
         enc = self._encoder(v)
+        if hasattr(enc, "encode_bytes"):
+            return enc.encode_bytes(raw).tolist()
         return enc.encode_codepoints(uni.decode_utf8(raw).astype(np.int32)).tolist()
 
     def encode_external(
@@ -117,8 +119,11 @@ class _EngineNamespace:
                         batch += 1
                 else:
                     batch = remaining
-                cps = uni.decode_utf8(data[begin : begin + batch]).astype(np.int32)
-                ids = enc.encode_codepoints(cps)
+                piece = data[begin : begin + batch]
+                if hasattr(enc, "encode_bytes"):
+                    ids = enc.encode_bytes(piece)
+                else:
+                    ids = enc.encode_codepoints(uni.decode_utf8(piece).astype(np.int32))
                 for i in ids.tolist():
                     fout.write(f"{i} ")
                 begin += batch
