@@ -69,3 +69,27 @@ def test_python_oracle_agrees_with_native(corpora):
     corpus, vocab = corpora["en"]
     cps = uni.decode_utf8(corpus[:20000])
     assert encode_oracle(cps, vocab) == loader.VocabHandle(vocab).encode(cps).tolist()
+
+
+def test_word_engine_random_bytes_fuzz():
+    """Arbitrary byte soup (invalid UTF-8 included) must match the native
+    scalar oracle exactly — exercises invalid-byte dropping inside units."""
+    from wordpiece_tpu.engine_word import WordEncoder
+
+    rng = np.random.default_rng(99)
+    vocab = parse_vocab(
+        ["[UNK]"] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        + ["th", "##he", "qu", "##ick", "中", "э", "##ю"]
+    )
+    enc = WordEncoder(vocab)
+    handle = loader.VocabHandle(vocab)
+    for _ in range(20):
+        n = int(rng.integers(1, 4000))
+        # Mix of ASCII text and random bytes.
+        ascii_part = bytes(rng.choice(list(b"abc def gh ij "), size=n))
+        noise = rng.integers(0, 256, size=n // 4, dtype=np.uint8).tobytes()
+        data = ascii_part[: n // 2] + noise + ascii_part[n // 2 :]
+        want = handle.encode(uni.decode_utf8(data))
+        got = enc.encode_bytes(data)
+        np.testing.assert_array_equal(got, want)

@@ -56,12 +56,14 @@ inline bool is_space_cp(uint32_t c) {
 }
 
 inline bool is_punct_cp(uint32_t c) {
+  // NB: 183/171/187 are < 256 but NOT C-locale ispunct; the reference
+  // includes them via explicit extra terms (utf8.cpp:14-17), so they must
+  // be checked outside the ASCII branch.
   if (c < 256) {
     return (c >= 33 && c <= 47) || (c >= 58 && c <= 64) || (c >= 91 && c <= 96) ||
-           (c >= 123 && c <= 126);
+           (c >= 123 && c <= 126) || c == 183 || c == 171 || c == 187;
   }
-  return c == 183 || c == 171 || c == 187 || c == 8249 || c == 8250 ||
-         (c >= 8208 && c <= 8248);
+  return c == 8249 || c == 8250 || (c >= 8208 && c <= 8248);
 }
 
 inline bool is_chinese_cp(uint32_t c) {
