@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import os
 import subprocess
 import threading
 
@@ -83,6 +84,8 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.wp_segment_dedupe_mt.restype = ctypes.c_int64
+        lib.wp_segment_dedupe_mt.argtypes = lib.wp_segment_dedupe.argtypes + [ctypes.c_int32]
         lib.wp_bucket_fill.restype = None
         lib.wp_bucket_fill.argtypes = [
             ctypes.c_void_p,
@@ -202,7 +205,8 @@ def segment_dedupe(data: bytes):
     ulen = np.empty(cap, dtype=np.int32)
     ucplen = np.empty(cap, dtype=np.int32)
     n_uniq = ctypes.c_int64(0)
-    n_occ = lib.wp_segment_dedupe(
+    n_threads = min(os.cpu_count() or 1, 2)
+    n_occ = lib.wp_segment_dedupe_mt(
         buf.ctypes.data_as(ctypes.c_void_p),
         size,
         occ.ctypes.data_as(ctypes.c_void_p),
@@ -210,6 +214,7 @@ def segment_dedupe(data: bytes):
         ulen.ctypes.data_as(ctypes.c_void_p),
         ucplen.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(n_uniq),
+        np.int32(n_threads),
     )
     nu = n_uniq.value
     return (

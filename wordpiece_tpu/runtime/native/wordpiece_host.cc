@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <memory>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -441,6 +443,91 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
   }
   *n_unique_out = n_uniq;
   return n_occ;
+}
+
+// Multithreaded segment+dedupe: split at an ASCII space near the middle,
+// run wp_segment_dedupe per half in parallel (ctypes releases the GIL),
+// then merge the second half's unique table into the first (remapping its
+// occurrence ids).  Unit streams concatenate exactly across space-snapped
+// splits, so the result is identical to the single-threaded call.
+int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
+                             int32_t* occ_unique, int64_t* uniq_start,
+                             int32_t* uniq_len, int32_t* uniq_cplen,
+                             int64_t* n_unique_out, int32_t n_threads) {
+  if (n_threads < 2 || size < (1 << 20)) {
+    return wp_segment_dedupe(data, size, occ_unique, uniq_start, uniq_len,
+                             uniq_cplen, n_unique_out);
+  }
+  // Split point: an ASCII space byte near the middle (spaces delimit).
+  int64_t mid = size / 2;
+  while (mid < size && data[mid] != 0x20) mid++;
+  if (mid >= size) {
+    return wp_segment_dedupe(data, size, occ_unique, uniq_start, uniq_len,
+                             uniq_cplen, n_unique_out);
+  }
+
+  // Uninitialized scratch (value-init of ~100MB of vectors costs more
+  // than the parallelism saves).
+  const size_t cap2 = static_cast<size_t>(size - mid);
+  std::unique_ptr<int32_t[]> occ2(new int32_t[cap2]);
+  std::unique_ptr<int64_t[]> us2(new int64_t[cap2]);
+  std::unique_ptr<int32_t[]> ul2(new int32_t[cap2]);
+  std::unique_ptr<int32_t[]> ucp2(new int32_t[cap2]);
+  int64_t n_occ2 = 0, n_uniq2 = 0;
+
+  std::thread worker([&] {
+    n_occ2 = wp_segment_dedupe(data + mid, size - mid, occ2.get(), us2.get(),
+                               ul2.get(), ucp2.get(), &n_uniq2);
+  });
+  int64_t n_uniq1 = 0;
+  int64_t n_occ1 = wp_segment_dedupe(data, mid, occ_unique, uniq_start,
+                                     uniq_len, uniq_cplen, &n_uniq1);
+  worker.join();
+
+  // Merge: map half-2 unique ids into the global table.
+  size_t cap = 1;
+  while (cap < static_cast<size_t>(2 * (n_uniq1 + n_uniq2) + 1)) cap <<= 1;
+  DedupeTable seen(cap);
+  for (int64_t u = 0; u < n_uniq1; u++) {
+    uint64_t h = fnv64(data + uniq_start[u], uniq_len[u]);
+    size_t b = static_cast<size_t>(h) & seen.mask;
+    while (seen.uid[b] >= 0) b = (b + 1) & seen.mask;
+    seen.hash[b] = h;
+    seen.uid[b] = static_cast<int32_t>(u);
+  }
+  int64_t n_uniq = n_uniq1;
+  std::vector<int32_t> remap(static_cast<size_t>(n_uniq2));
+  for (int64_t u = 0; u < n_uniq2; u++) {
+    const uint8_t* p = data + mid + us2[u];
+    const int32_t len = ul2[u];
+    const uint64_t h = fnv64(p, len);
+    size_t b = static_cast<size_t>(h) & seen.mask;
+    int32_t found = -1;
+    while (seen.uid[b] >= 0) {
+      const int32_t cand = seen.uid[b];
+      if (seen.hash[b] == h && uniq_len[cand] == len &&
+          std::memcmp(data + uniq_start[cand], p, static_cast<size_t>(len)) == 0) {
+        found = cand;
+        break;
+      }
+      b = (b + 1) & seen.mask;
+    }
+    if (found < 0) {
+      found = static_cast<int32_t>(n_uniq);
+      uniq_start[n_uniq] = mid + us2[u];
+      uniq_len[n_uniq] = len;
+      uniq_cplen[n_uniq] = ucp2[u];
+      n_uniq++;
+      seen.hash[b] = h;
+      seen.uid[b] = found;
+    }
+    remap[static_cast<size_t>(u)] = found;
+  }
+  for (int64_t i = 0; i < n_occ2; i++) {
+    occ_unique[n_occ1 + i] = remap[static_cast<size_t>(occ2[static_cast<size_t>(i)])];
+  }
+  *n_unique_out = n_uniq;
+  return n_occ1 + n_occ2;
 }
 
 // Fill width-bucketed codepoint matrices with the unique units.
