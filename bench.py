@@ -70,6 +70,9 @@ def main() -> int:
     if args.verbose:
         print(f"first call (compile+run): {t_first:.2f}s, {ids.shape[0]} ids", file=sys.stderr)
 
+    if getattr(enc, "stats", None) is not None:
+        enc.stats.reset()  # exclude warmup/compile from the breakdown
+
     # End-to-end timing: corpus bytes in host memory -> ids on host.
     times = []
     for _ in range(args.iters):

@@ -40,9 +40,13 @@ class LengthTables:
     rows_off: list[int]  # len max_len+2 (python ints, static)
     mult1: int
     mult2: int
-    lane_salt: int
+    lane_salts: tuple  # per-length salts, index 0 unused (static)
     max_len: int
     unk_token_id: int
+
+    @property
+    def lane_salt(self) -> int:  # compat: single-salt consumers
+        return self.lane_salts[1] if len(self.lane_salts) > 1 else 1
 
 
 def fold_key2(h2: np.ndarray, length, kind) -> np.ndarray:
@@ -95,28 +99,32 @@ def build_length_tables(vocab: Vocabulary, *, max_salt_tries: int = 8) -> Length
         raise RuntimeError("could not find collision-free hash multipliers")
 
     max_len = vocab.max_len
-    # Lane salt search: minimize total padded rows.
-    best = None
-    for _try in range(max_salt_tries):
-        salt = int(rng.integers(1, 1 << 32)) | 1
-        lanes = lane_of(h1, h2, lens, kinds, salt)
-        total_rows = 0
-        for l in range(1, max_len + 1):
-            sel = active[(lens[active] == l)]
-            if sel.size:
-                counts = np.bincount(lanes[sel], minlength=LANES)
-                total_rows += int(counts.max())
-        if best is None or total_rows < best[1]:
-            best = (salt, total_rows)
-    salt = best[0] if best is not None else 1
+    # Per-length lane salt search: each length's buckets are balanced
+    # independently (B_l is a max over lanes, so skew directly costs
+    # probe rows).
+    salts = [1] * (max_len + 1)
+    for l in range(1, max_len + 1):
+        sel = active[(lens[active] == l)]
+        if not sel.size:
+            continue
+        best = None
+        for _try in range(max_salt_tries):
+            salt = int(rng.integers(1, 1 << 32)) | 1
+            lanes_l = lane_of(h1[sel], h2[sel], lens[sel], kinds[sel], salt)
+            b_l = int(np.bincount(lanes_l, minlength=LANES).max())
+            if best is None or b_l < best[1]:
+                best = (salt, b_l)
+        salts[l] = best[0]
 
-    lanes = lane_of(h1, h2, lens, kinds, salt)
     k2f = fold_key2(h2, lens, kinds)
 
     rows_off = [0, 0]  # lengths are 1-based; rows_off[l] .. rows_off[l+1]
     k1_rows, k2_rows, id_rows = [], [], []
+    lanes = np.zeros(vocab.size, dtype=np.int32)
     for l in range(1, max_len + 1):
         sel = active[(lens[active] == l)]
+        if sel.size:
+            lanes[sel] = lane_of(h1[sel], h2[sel], lens[sel], kinds[sel], salts[l])
         counts = np.bincount(lanes[sel], minlength=LANES) if sel.size else np.zeros(
             LANES, np.int64
         )
@@ -163,7 +171,7 @@ def build_length_tables(vocab: Vocabulary, *, max_salt_tries: int = 8) -> Length
         rows_off=rows_off,
         mult1=m1,
         mult2=m2,
-        lane_salt=salt,
+        lane_salts=tuple(salts),
         max_len=max_len,
         unk_token_id=vocab.unk_token_id,
     )

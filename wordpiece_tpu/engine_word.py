@@ -104,7 +104,7 @@ class WordEncoder:
             rows_off=tuple(self.tables.rows_off),
             mult1=int(self.tables.mult1),
             mult2=int(self.tables.mult2),
-            lane_salt=int(self.tables.lane_salt),
+            lane_salts=tuple(self.tables.lane_salts),
             unk_id=int(self.tables.unk_token_id),
         )
 

@@ -49,7 +49,7 @@ def _suffix_min(v: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("width", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id"),
+    static_argnames=("width", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id"),
 )
 def word_match_commit(
     cp: jax.Array,  # int32[U, width + max_len], padded with 32 (space)
@@ -62,7 +62,7 @@ def word_match_commit(
     rows_off: tuple[int, ...],
     mult1: int,
     mult2: int,
-    lane_salt: int,
+    lane_salts: tuple,
     unk_id: int,
 ) -> jax.Array:
     """Returns emit int32[U, width]: token id per emitting position, -2
@@ -92,7 +92,6 @@ def word_match_commit(
     # ---- longest-match probing -------------------------------------------
     m1 = jnp.uint32(mult1)
     m2 = jnp.uint32(mult2)
-    salt = jnp.uint32(lane_salt | 1)
     kind = wp.astype(jnp.uint32)
     h1 = jnp.zeros((U, W), jnp.uint32)
     h2 = jnp.zeros((U, W), jnp.uint32)
@@ -107,6 +106,7 @@ def word_match_commit(
         if b_l == 0:
             continue
         lu = jnp.uint32(l)
+        salt = jnp.uint32(lane_salts[l] | 1)
         key2 = (h2 ^ (jnp.uint32(LEN_MIX) * lu) ^ (jnp.uint32(KIND_MIX) * kind)).astype(
             jnp.int32
         )

@@ -55,7 +55,7 @@ def _masked_suffix_min(v, local, stride):
 
 
 def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_off,
-            mult1, mult2, lane_salt, unk_id):
+            mult1, mult2, lane_salts, unk_id):
     br = out_ref.shape[0]
     W = stride - 1
     cpb = cp_ref[:]  # (BR, 128 + max_len)
@@ -88,7 +88,6 @@ def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_of
     # ---- probe ----------------------------------------------------------
     m1 = jnp.uint32(mult1)
     m2 = jnp.uint32(mult2)
-    salt = jnp.uint32(lane_salt | 1)
     kind = wp.astype(jnp.uint32)
     h1 = jnp.zeros((br, LANES), jnp.uint32)
     h2 = jnp.zeros((br, LANES), jnp.uint32)
@@ -103,6 +102,7 @@ def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_of
         if b_l == 0:
             continue
         lu = jnp.uint32(l)
+        salt = jnp.uint32(lane_salts[l] | 1)
         key1 = h1.astype(jnp.int32)
         key2 = (h2 ^ (jnp.uint32(LEN_MIX) * lu) ^ (jnp.uint32(KIND_MIX) * kind)).astype(jnp.int32)
         plane = (
@@ -175,7 +175,7 @@ def _kernel(cp_ref, k1_ref, k2_ref, id_ref, out_ref, *, stride, max_len, rows_of
 @partial(
     jax.jit,
     static_argnames=(
-        "stride", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id", "block_rows",
+        "stride", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id", "block_rows",
     ),
 )
 def word_match_commit_pallas(
@@ -189,7 +189,7 @@ def word_match_commit_pallas(
     rows_off: tuple[int, ...],
     mult1: int,
     mult2: int,
-    lane_salt: int,
+    lane_salts: tuple,
     unk_id: int,
     block_rows: int = 256,
 ) -> jax.Array:
@@ -202,7 +202,7 @@ def word_match_commit_pallas(
         rows_off=rows_off,
         mult1=mult1,
         mult2=mult2,
-        lane_salt=lane_salt,
+        lane_salts=lane_salts,
         unk_id=unk_id,
     )
     grid = (u_rows // block_rows,)
@@ -223,7 +223,7 @@ def word_match_commit_pallas(
 @partial(
     jax.jit,
     static_argnames=(
-        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id", "block_rows",
+        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id", "block_rows",
         "interpret",
     ),
 )
@@ -238,7 +238,7 @@ def word_match_commit_multi(
     rows_off: tuple,
     mult1: int,
     mult2: int,
-    lane_salt: int,
+    lane_salts: tuple,
     unk_id: int,
     block_rows: int = 256,
     interpret: bool = False,
@@ -256,7 +256,7 @@ def word_match_commit_multi(
             rows_off=rows_off,
             mult1=mult1,
             mult2=mult2,
-            lane_salt=lane_salt,
+            lane_salts=lane_salts,
             unk_id=unk_id,
         )
         outs.append(

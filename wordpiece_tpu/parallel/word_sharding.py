@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 @partial(
     jax.jit,
     static_argnames=(
-        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salt", "unk_id",
+        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id",
         "block_rows", "mesh", "interpret",
     ),
 )
@@ -44,7 +44,7 @@ def word_encode_data_parallel(
     rows_off: tuple,
     mult1: int,
     mult2: int,
-    lane_salt: int,
+    lane_salts: tuple,
     unk_id: int,
     block_rows: int = 256,
     interpret: bool = False,
@@ -63,7 +63,7 @@ def word_encode_data_parallel(
             rows_off=rows_off,
             mult1=mult1,
             mult2=mult2,
-            lane_salt=lane_salt,
+            lane_salts=lane_salts,
             unk_id=unk_id,
             block_rows=block_rows,
             interpret=interpret,
