@@ -123,20 +123,79 @@ class WordEncoder:
                 for b, m in enumerate(mats)
             ]
             return ("sync", emits)
-        from .ops.word_kernel_pallas import word_match_commit_multi
+        from .ops.word_kernel_pallas import word_match_commit_compact
 
         max_len = self._statics["max_len"]
         packed = []
         strides = []
         nonempty = []
+        n_units_total = 0
         for b, mat in enumerate(mats):
             if mat.shape[0] == 0:
                 continue
             nonempty.append(b)
             strides.append(STRIDES[b])
             packed.append(jnp.asarray(pack_groups(mat, STRIDES[b], max_len)))
+            n_units_total += mat.shape[0]
         if not packed:
             return ("sync", [None] * len(mats))
+        # Compact-output capacity: ~1.2 ids/unit is typical; 2x + slack
+        # covers heavy-subword corpora, with a full-emit fallback beyond.
+        cap = 1 << max(13, (2 * n_units_total + 1024 - 1).bit_length())
+        out_dev = word_match_commit_compact(
+            tuple(packed),
+            self._tab_k1,
+            self._tab_k2,
+            self._tab_id,
+            strides=tuple(strides),
+            block_rows=BLOCK_ROWS,
+            cap=cap,
+            **self._statics,
+        )
+        for leaf in out_dev:
+            try:
+                leaf.copy_to_host_async()  # overlap D2H with later host work
+            except AttributeError:
+                pass
+        rows = [pk.shape[0] for pk in packed]
+        sizes = [mats[b].shape[0] for b in nonempty]
+        return ("async", out_dev, nonempty, rows, sizes, len(mats), cap, packed, strides)
+
+    def _fetch_buckets(self, handle) -> list[np.ndarray]:
+        if handle[0] == "sync":
+            return handle[1]
+        _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
+        total = int(out_dev[2])
+        if total > cap:  # pragma: no cover - needs >2 ids/unit on average
+            return self._fetch_full(packed, strides, nonempty, rows, sizes, n_mats)
+        compact = np.asarray(out_dev[0])[:total]
+        counts = np.asarray(out_dev[1]).astype(np.int64)
+        tid = (compact >> 7) - 2
+        lane = compact & 127
+        row_of_id = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        cum = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts, out=cum[1:])
+        emits: list[np.ndarray | None] = [None] * n_mats
+        row0 = 0
+        for b, nrows, n_units in zip(nonempty, rows, sizes):
+            stride = STRIDES[b]
+            n_groups = 128 // stride
+            lo, hi = cum[row0], cum[row0 + nrows]
+            r_loc = row_of_id[lo:hi] - row0
+            ln = lane[lo:hi]
+            unit = r_loc * n_groups + ln // stride
+            pos = ln % stride
+            emit = np.full((nrows * n_groups, stride - 1), -2, dtype=np.int32)
+            emit[unit, pos] = tid[lo:hi]
+            emits[b] = emit[:n_units]
+            row0 += nrows
+        return emits
+
+    def _fetch_full(self, packed, strides, nonempty, rows, sizes, n_mats):
+        """Fallback when the compact capacity overflows: fetch the full
+        emit matrix (2nd round trip; needs >2 emitted ids per unit)."""
+        from .ops.word_kernel_pallas import word_match_commit_multi
+
         out_dev = word_match_commit_multi(
             tuple(packed),
             self._tab_k1,
@@ -146,14 +205,6 @@ class WordEncoder:
             block_rows=BLOCK_ROWS,
             **self._statics,
         )
-        rows = [pk.shape[0] for pk in packed]
-        sizes = [mats[b].shape[0] for b in nonempty]
-        return ("async", out_dev, nonempty, rows, sizes, len(mats))
-
-    def _fetch_buckets(self, handle) -> list[np.ndarray]:
-        if handle[0] == "sync":
-            return handle[1]
-        _, out_dev, nonempty, rows, sizes, n_mats = handle
         out_cat = np.asarray(out_dev)
         emits: list[np.ndarray | None] = [None] * n_mats
         row = 0
@@ -203,6 +254,17 @@ class WordEncoder:
         """Check every emitted non-UNK token's string against the vocab;
         returns `emit` (or a repaired copy) with mismatching units
         re-encoded by the scalar oracle."""
+        bad = loader.verify_emit(mat, emit, self.vocab, self._statics["unk_id"])
+        if bad is not None:
+            if bad.size:  # pragma: no cover - requires a hash collision
+                emit = emit.copy()
+                for r in bad.tolist():
+                    row = mat[r]
+                    cps = row[row != 32].astype(np.uint32)
+                    ids = self._scalar.encode(cps)
+                    emit[r, :] = -2
+                    emit[r, : ids.shape[0]] = ids
+            return emit
         if self._padded_vocab is None:
             self._padded_vocab = self.vocab.padded(width=max(self.vocab.max_len, 1))
         padded, plens = self._padded_vocab
@@ -242,16 +304,19 @@ class WordEncoder:
                 emit[r, : ids.shape[0]] = ids
         return emit
 
-    # Chunk size for the pipelined path: host segmentation of chunk k+1
-    # overlaps the (async-dispatched) device program of chunk k.  Large on
-    # purpose: dedupe is per chunk, so small chunks forfeit the global
-    # dedupe win (measured: 4MB chunks tripled device work on a 10MB
-    # Zipfian corpus).  At 48MB per chunk the chunk-local unique set is
-    # close to saturated and overlap is nearly free.
-    PIPELINE_CHUNK = 48_000_000
+    # Pipelined chunking: host segmentation/stitching of later chunks
+    # overlaps the async-dispatched device programs (and their async D2H
+    # copies) of earlier chunks.  Measured on this 2-core host the
+    # orchestration CPU cost of extra chunks outweighs the hidden device
+    # latency below ~32MB, so small corpora run as ONE chunk; chunking
+    # kicks in for large corpora (bounding peak host memory) where the
+    # per-chunk overhead amortizes.
+    PIPELINE_CHUNK = 32_000_000
+    PIPELINE_MIN = 40_000_000  # below this a single chunk is faster
+    PIPELINE_WINDOW = 4  # max chunks in flight (bounds host memory)
 
     def encode_bytes(self, data: bytes) -> np.ndarray:
-        if len(data) <= self.PIPELINE_CHUNK:
+        if len(data) <= self.PIPELINE_MIN:
             return self._encode_chunk(data)
         # Split at ASCII-space boundaries (units never span spaces).
         chunks = []
@@ -264,14 +329,15 @@ class WordEncoder:
             chunks.append(data[begin:end])
             begin = end
         outs = []
-        prev = None
+        from collections import deque
+
+        window: deque = deque()
         for chunk in chunks:
-            state = self._prepare_chunk(chunk)  # host; overlaps device(prev)
-            if prev is not None:
-                outs.append(self._finish_chunk(*prev))
-            prev = (chunk, state)
-        if prev is not None:
-            outs.append(self._finish_chunk(*prev))
+            window.append((chunk, self._prepare_chunk(chunk)))
+            if len(window) >= self.PIPELINE_WINDOW:
+                outs.append(self._finish_chunk(*window.popleft()))
+        while window:
+            outs.append(self._finish_chunk(*window.popleft()))
         outs = [o for o in outs if o.size]
         return np.concatenate(outs) if outs else np.zeros(0, np.int32)
 

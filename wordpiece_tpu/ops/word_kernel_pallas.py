@@ -280,3 +280,62 @@ def word_match_commit_multi(
         )
     # One concatenated output => a single device->host transfer.
     return jnp.concatenate(outs, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "strides", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id", "block_rows",
+        "cap", "interpret",
+    ),
+)
+def word_match_commit_compact(
+    cps: tuple,  # tuple of int32[U_b, 128 + max_len] packed matrices
+    tab_k1: jax.Array,
+    tab_k2: jax.Array,
+    tab_id: jax.Array,
+    *,
+    strides: tuple,
+    max_len: int,
+    rows_off: tuple,
+    mult1: int,
+    mult2: int,
+    lane_salts: tuple,
+    unk_id: int,
+    cap: int,
+    block_rows: int = 256,
+    interpret: bool = False,
+):
+    """Match+commit for all buckets, then compact the sparse emit matrix
+    on device so the d2h transfer is ~#ids instead of #lanes (the axon
+    tunnel is latency- and bandwidth-poor: ~27ms + ~60MB/s).
+
+    Returns (compact int32[cap], counts uint8[rows_total], total int32):
+    compact[k] = (token_id + 2) * 128 + lane, in row-major (row, lane)
+    order; counts[r] = emitted ids in packed row r.  If total > cap the
+    caller must fall back to the full-emit program.
+    """
+    emit = word_match_commit_multi(
+        cps,
+        tab_k1,
+        tab_k2,
+        tab_id,
+        strides=strides,
+        max_len=max_len,
+        rows_off=rows_off,
+        mult1=mult1,
+        mult2=mult2,
+        lane_salts=lane_salts,
+        unk_id=unk_id,
+        block_rows=block_rows,
+        interpret=interpret,
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, emit.shape, 1)
+    mask = emit != -2
+    counts = mask.sum(axis=1, dtype=jnp.int32)
+    packed = (emit + 2) * 128 + lane
+    n = emit.shape[0] * emit.shape[1]
+    flat_mask = mask.reshape(n)
+    pos = jnp.where(flat_mask, jax.lax.broadcasted_iota(jnp.int32, (n,), 0), jnp.int32(2**30))
+    _, vals = jax.lax.sort_key_val(pos, packed.reshape(n))
+    return vals[:cap], counts.astype(jnp.uint8), counts.sum(dtype=jnp.int32)

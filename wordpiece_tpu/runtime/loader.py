@@ -107,6 +107,24 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.wp_expand_total.restype = ctypes.c_int64
+        lib.wp_expand_total.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.wp_verify_emit.restype = ctypes.c_int64
+        lib.wp_verify_emit.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
         lib.wp_vocab_new.restype = ctypes.c_void_p
         lib.wp_vocab_new.argtypes = [
             ctypes.c_void_p,
@@ -189,6 +207,19 @@ def encode_scalar(text_cp: np.ndarray, vocab) -> np.ndarray | None:
     return out[:n].copy()
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch(name: str, cap: int, dtype) -> np.ndarray:
+    """Reused per-call scratch (page faults on fresh np.empty buffers cost
+    more than the arrays' fills when called per pipeline chunk)."""
+    arr = _SCRATCH.get(name)
+    if arr is None or arr.shape[0] < cap:
+        arr = np.empty(int(cap * 1.25) + 16, dtype=dtype)
+        _SCRATCH[name] = arr
+    return arr
+
+
 def segment_dedupe(data: bytes):
     """Segment corpus bytes into units and dedupe.
 
@@ -200,10 +231,10 @@ def segment_dedupe(data: bytes):
     size = len(data)
     cap = max(size, 1)
     buf = np.frombuffer(data, dtype=np.uint8) if size else np.zeros(1, np.uint8)
-    occ = np.empty(cap, dtype=np.int32)
-    ustart = np.empty(cap, dtype=np.int64)
-    ulen = np.empty(cap, dtype=np.int32)
-    ucplen = np.empty(cap, dtype=np.int32)
+    occ = _scratch("occ", cap, np.int32)
+    ustart = _scratch("ustart", cap, np.int64)
+    ulen = _scratch("ulen", cap, np.int32)
+    ucplen = _scratch("ucplen", cap, np.int32)
     n_uniq = ctypes.c_int64(0)
     n_threads = min(os.cpu_count() or 1, 2)
     n_occ = lib.wp_segment_dedupe_mt(
@@ -271,9 +302,16 @@ def expand(occ_unique, tok_flat, tok_offsets) -> np.ndarray | None:
     occ = np.ascontiguousarray(occ_unique, np.int32)
     flat = np.ascontiguousarray(tok_flat, np.int32)
     offs = np.ascontiguousarray(tok_offsets, np.int64)
-    counts = np.diff(offs)
-    total = int(counts[occ].sum()) if occ.size else 0
-    out = np.empty(max(total, 1), dtype=np.int32)
+    # wp_expand over-copies up to 2 ids per step: give flat 2 spare reads.
+    flat = np.concatenate([flat, np.zeros(2, np.int32)])
+    total = int(
+        lib.wp_expand_total(
+            occ.ctypes.data_as(ctypes.c_void_p),
+            occ.shape[0],
+            offs.ctypes.data_as(ctypes.c_void_p),
+        )
+    )
+    out = np.empty(total + 2, dtype=np.int32)  # 2 spare write slots
     n = lib.wp_expand(
         occ.ctypes.data_as(ctypes.c_void_p),
         occ.shape[0],
@@ -281,7 +319,33 @@ def expand(occ_unique, tok_flat, tok_offsets) -> np.ndarray | None:
         offs.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    return out[:n].copy()
+    assert n == total
+    return out[:n]
+
+
+def verify_emit(mat, emit, vocab, unk_id: int) -> np.ndarray | None:
+    """Rows of `emit` whose token ids don't reproduce the unit strings in
+    `mat` (hash-collision guard); None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, np.int32)
+    emit = np.ascontiguousarray(emit, np.int32)
+    flat = np.ascontiguousarray(vocab.flat, np.uint32)
+    offs = np.ascontiguousarray(vocab.offsets, np.int64)
+    bad = np.empty(max(mat.shape[0], 1), dtype=np.int32)
+    n = lib.wp_verify_emit(
+        mat.ctypes.data_as(ctypes.c_void_p),
+        emit.ctypes.data_as(ctypes.c_void_p),
+        mat.shape[0],
+        mat.shape[1],
+        flat.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        vocab.size,
+        np.int32(unk_id),
+        bad.ctypes.data_as(ctypes.c_void_p),
+    )
+    return bad[:n].copy()
 
 
 class VocabHandle:

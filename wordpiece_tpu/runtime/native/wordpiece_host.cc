@@ -11,13 +11,21 @@
 //
 // Build: make -C wordpiece_tpu/runtime/native
 
+#include <condition_variable>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
-#include <string>
+#include <functional>
 #include <memory>
+#include <mutex>
+#include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -302,6 +310,17 @@ struct DedupeTable {
   std::vector<int32_t> uid;
   size_t mask;
   explicit DedupeTable(size_t cap_pow2) : hash(cap_pow2, 0), uid(cap_pow2, -1), mask(cap_pow2 - 1) {}
+  void reset(size_t cap_pow2) {
+    if (hash.size() < cap_pow2) {
+      hash.assign(cap_pow2, 0);
+      uid.assign(cap_pow2, -1);
+      mask = cap_pow2 - 1;
+    } else {
+      // Keep the grown capacity; only uid needs clearing (uid<0 = empty).
+      std::memset(uid.data(), 0xFF, uid.size() * sizeof(int32_t));
+      mask = uid.size() - 1;
+    }
+  }
   void grow(const uint8_t* data, const int64_t* ustart, const int32_t* ulen) {
     DedupeTable bigger(2 * (mask + 1));
     for (size_t s = 0; s <= mask; s++) {
@@ -317,14 +336,201 @@ struct DedupeTable {
   }
 };
 
-inline uint64_t fnv64(const uint8_t* p, int64_t len) {
-  uint64_t h = 1469598103934665603ull;
-  for (int64_t i = 0; i < len; i++) {
-    h ^= p[i];
-    h *= 1099511628211ull;
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdull;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ull;
+  x ^= x >> 33;
+  return x;
+}
+
+inline uint64_t load64(const uint8_t* p) {
+  uint64_t w;
+  std::memcpy(&w, p, 8);
+  return w;
+}
+
+// Hash the unit bytes at data[start .. start+len).  Word-at-a-time (the
+// scalar FNV chain was the old hot spot); `size` bounds a full-width load
+// near the buffer end.  Collisions are harmless: the dedupe table always
+// memcmp-verifies before reuse.
+inline uint64_t hash_unit(const uint8_t* data, int64_t start, int64_t len,
+                          int64_t size) {
+  const uint8_t* p = data + start;
+  const uint64_t salt = static_cast<uint64_t>(len) * 0x9E3779B97F4A7C15ull;
+  uint64_t h;
+  if (len <= 8) {
+    uint64_t w;
+    if (start + 8 <= size) {
+      w = load64(p);
+      if (len < 8) w &= (~0ull >> ((8 - len) * 8));
+    } else {
+      w = 0;
+      std::memcpy(&w, p, static_cast<size_t>(len));
+    }
+    h = mix64(w + salt);
+  } else if (len <= 16) {
+    h = mix64(load64(p) * 0x9DDFEA08EB382D69ull ^ (load64(p + len - 8) + salt));
+  } else {
+    h = salt;
+    int64_t i = 0;
+    for (; i + 8 <= len; i += 8) h = mix64(h ^ load64(p + i));
+    if (i < len) h = mix64(h ^ load64(p + len - 8));
   }
   return h | 1;  // nonzero marker
 }
+
+// ---- byte-class bitmasks (1 bit per corpus byte) --------------------------
+//
+// space: ASCII space class (9..13, 32).  delim: space | ASCII punct |
+// non-ASCII lead/cont byte — i.e. every byte at which a plain ASCII word
+// run must stop.  nonascii: byte >= 0x80.  Bits at/after `size` are set in
+// delim and clear in space/nonascii, so next_set_bit/skip loops terminate
+// without per-iteration bounds checks.
+struct ClassMasks {
+  std::vector<uint64_t> buf;  // reused across calls (thread_local owner)
+  uint64_t* delim;
+  uint64_t* space;
+  uint64_t* nonascii;
+  int64_t nwords;
+};
+
+inline void build_class_masks(const uint8_t* data, int64_t size, ClassMasks* m) {
+  const int64_t nwords = (size >> 6) + 2;
+  m->nwords = nwords;
+  if (m->buf.size() < static_cast<size_t>(3 * nwords))
+    m->buf.resize(static_cast<size_t>(3 * nwords));
+  m->delim = m->buf.data();
+  m->space = m->buf.data() + nwords;
+  m->nonascii = m->buf.data() + 2 * nwords;
+  int64_t w = 0;
+#if defined(__AVX512BW__)
+  const __m512i v9 = _mm512_set1_epi8(9), v13 = _mm512_set1_epi8(13);
+  const __m512i v32 = _mm512_set1_epi8(32);
+  const __m512i v33 = _mm512_set1_epi8(33), v47 = _mm512_set1_epi8(47);
+  const __m512i v58 = _mm512_set1_epi8(58), v64 = _mm512_set1_epi8(64);
+  const __m512i v91 = _mm512_set1_epi8(91), v96 = _mm512_set1_epi8(96);
+  const __m512i v123 = _mm512_set1_epi8(123), v126 = _mm512_set1_epi8(126);
+  for (; (w << 6) + 64 <= size; w++) {
+    const __m512i v = _mm512_loadu_si512(data + (w << 6));
+    const __mmask64 sp = _mm512_cmpeq_epu8_mask(v, v32) |
+                         (_mm512_cmp_epu8_mask(v9, v, _MM_CMPINT_LE) &
+                          _mm512_cmp_epu8_mask(v, v13, _MM_CMPINT_LE));
+    const __mmask64 pu =
+        (_mm512_cmp_epu8_mask(v33, v, _MM_CMPINT_LE) &
+         _mm512_cmp_epu8_mask(v, v47, _MM_CMPINT_LE)) |
+        (_mm512_cmp_epu8_mask(v58, v, _MM_CMPINT_LE) &
+         _mm512_cmp_epu8_mask(v, v64, _MM_CMPINT_LE)) |
+        (_mm512_cmp_epu8_mask(v91, v, _MM_CMPINT_LE) &
+         _mm512_cmp_epu8_mask(v, v96, _MM_CMPINT_LE)) |
+        (_mm512_cmp_epu8_mask(v123, v, _MM_CMPINT_LE) &
+         _mm512_cmp_epu8_mask(v, v126, _MM_CMPINT_LE));
+    const __mmask64 na = _mm512_movepi8_mask(v);
+    m->space[w] = sp;
+    m->nonascii[w] = na;
+    m->delim[w] = sp | pu | na;
+  }
+#endif
+  // Scalar tail (and full fallback without AVX-512).
+  const uint8_t* cls = byte_class_table();
+  for (; (w << 6) < size; w++) {
+    uint64_t sp = 0, na = 0, de = 0;
+    const int64_t base = w << 6;
+    const int64_t hi = std::min<int64_t>(64, size - base);
+    for (int64_t k = 0; k < hi; k++) {
+      const uint8_t c = cls[data[base + k]];
+      if (c == 1) sp |= 1ull << k;
+      if (c == 3) na |= 1ull << k;
+      if (c != 0) de |= 1ull << k;
+    }
+    m->space[w] = sp;
+    m->nonascii[w] = na;
+    m->delim[w] = de;
+  }
+  for (; w < nwords; w++) {
+    m->space[w] = 0;
+    m->nonascii[w] = 0;
+    m->delim[w] = ~0ull;
+  }
+  // Pad the partial final word: bits >= size are delim-only.
+  const int64_t bit = size & 63;
+  const int64_t fw = size >> 6;
+  if (fw < nwords) {
+    const uint64_t in = bit ? ((1ull << bit) - 1) : 0ull;
+    m->space[fw] &= in;
+    m->nonascii[fw] &= in;
+    m->delim[fw] |= ~in;
+  }
+}
+
+inline int64_t next_set_bit(const uint64_t* m, int64_t i) {
+  int64_t w = i >> 6;
+  uint64_t cur = m[w] & (~0ull << (i & 63));
+  while (cur == 0) cur = m[++w];
+  return (w << 6) + __builtin_ctzll(cur);
+}
+
+inline int64_t next_clear_bit(const uint64_t* m, int64_t i) {
+  int64_t w = i >> 6;
+  uint64_t cur = ~m[w] & (~0ull << (i & 63));
+  while (cur == 0) cur = ~m[++w];
+  return (w << 6) + __builtin_ctzll(cur);
+}
+
+// Persistent second-half worker: a fresh std::thread per call would tear
+// down and rebuild the thread_local scratch (masks + half buffers) every
+// pipeline chunk.
+class HalfWorker {
+ public:
+  HalfWorker() : th_([this] { loop(); }) {}
+  ~HalfWorker() {
+    {
+      std::lock_guard<std::mutex> g(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    th_.join();
+  }
+  void run(std::function<void()> job) {
+    {
+      std::lock_guard<std::mutex> g(mu_);
+      job_ = std::move(job);
+      has_job_ = true;
+      done_ = false;
+    }
+    cv_.notify_all();
+  }
+  void wait() {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_.wait(lk, [&] { return done_; });
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> job;
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_.wait(lk, [&] { return has_job_ || stop_; });
+        if (stop_) return;
+        job = std::move(job_);
+        has_job_ = false;
+      }
+      job();
+      {
+        std::lock_guard<std::mutex> g(mu_);
+        done_ = true;
+      }
+      cv_.notify_all();
+    }
+  }
+  std::mutex mu_;
+  std::condition_variable cv_;
+  std::function<void()> job_;
+  bool has_job_ = false, done_ = false, stop_ = false;
+  std::thread th_;
+};
 
 }  // namespace
 
@@ -332,30 +538,28 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
                           int32_t* occ_unique, int64_t* uniq_start,
                           int32_t* uniq_len, int32_t* uniq_cplen,
                           int64_t* n_unique_out) {
-  const uint8_t* cls = byte_class_table();
-  DedupeTable seen(1 << 16);
+  thread_local ClassMasks cm;
+  build_class_masks(data, size, &cm);
+  thread_local DedupeTable seen(1 << 16);
+  seen.reset(1 << 16);
   int64_t n_occ = 0;
   int64_t n_uniq = 0;
   int64_t i = 0;
   while (i < size) {
-    // Fast path: ASCII space runs.
-    uint8_t c0 = cls[data[i]];
-    if (c0 == 1) {
-      i++;
+    const int64_t w0 = i >> 6;
+    const uint64_t bit0 = 1ull << (i & 63);
+    if (cm.space[w0] & bit0) {  // ASCII space run: bit-skip
+      i = next_clear_bit(cm.space, i);
       continue;
     }
     int64_t start;
     int32_t cplen;
-    if (c0 == 0) {
-      // ASCII word start: scan the run with the table; bail to the slow
-      // path only on multi-byte bytes.
+    if (!(cm.delim[w0] & bit0)) {
+      // ASCII word start: the run ends at the next delim bit.
       start = i;
-      cplen = 0;
-      while (i < size && cls[data[i]] == 0) {
-        i++;
-        cplen++;
-      }
-      if (i < size && cls[data[i]] == 3) {
+      i = next_set_bit(cm.delim, i);
+      cplen = static_cast<int32_t>(i - start);
+      if (i < size && ((cm.nonascii[i >> 6] >> (i & 63)) & 1)) {
         // Mixed multi-byte run: continue with full decoding.
         while (i < size) {
           int64_t c2;
@@ -369,7 +573,8 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
           cplen++;
         }
       }
-    } else if (c0 == 2) {
+    } else if (!((cm.nonascii[w0] >> (i & 63)) & 1)) {
+      // ASCII punct: a unit by itself.
       start = i;
       cplen = 1;
       i++;
@@ -392,13 +597,14 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
           cplen = 1;
         }
         while (i < size) {
-          uint8_t cc = cls[data[i]];
-          if (cc == 0) {  // ASCII word bytes: table fast path
-            i++;
-            cplen++;
+          const uint64_t b = 1ull << (i & 63);
+          if (!(cm.delim[i >> 6] & b)) {  // ASCII word bytes: bit-skip
+            const int64_t e = next_set_bit(cm.delim, i);
+            cplen += static_cast<int32_t>(e - i);
+            i = e;
             continue;
           }
-          if (cc == 1 || cc == 2) break;  // ASCII space/punct delimits
+          if (!(cm.nonascii[i >> 6] & b)) break;  // ASCII space/punct delimits
           int64_t c2;
           uint32_t cp2 = decode_one(data + i, size - i, &c2);
           if (cp2 == kInvalid) {
@@ -412,7 +618,7 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
       }
     }
     const int32_t klen = static_cast<int32_t>(i - start);
-    const uint64_t h = fnv64(data + start, klen);
+    const uint64_t h = hash_unit(data, start, klen, size);
     size_t b = static_cast<size_t>(h) & seen.mask;
     int32_t uid = -1;
     while (seen.uid[b] >= 0) {
@@ -466,30 +672,39 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
                              uniq_cplen, n_unique_out);
   }
 
-  // Uninitialized scratch (value-init of ~100MB of vectors costs more
-  // than the parallelism saves).
+  // Reused scratch for the second half (fresh allocations page-fault on
+  // every pipeline chunk; reuse keeps the pages warm).
   const size_t cap2 = static_cast<size_t>(size - mid);
-  std::unique_ptr<int32_t[]> occ2(new int32_t[cap2]);
-  std::unique_ptr<int64_t[]> us2(new int64_t[cap2]);
-  std::unique_ptr<int32_t[]> ul2(new int32_t[cap2]);
-  std::unique_ptr<int32_t[]> ucp2(new int32_t[cap2]);
+  static thread_local std::vector<int32_t> occ2_v, ul2_v, ucp2_v;
+  static thread_local std::vector<int64_t> us2_v;
+  if (occ2_v.size() < cap2) {
+    occ2_v.resize(cap2);
+    ul2_v.resize(cap2);
+    ucp2_v.resize(cap2);
+    us2_v.resize(cap2);
+  }
+  int32_t* occ2 = occ2_v.data();
+  int64_t* us2 = us2_v.data();
+  int32_t* ul2 = ul2_v.data();
+  int32_t* ucp2 = ucp2_v.data();
   int64_t n_occ2 = 0, n_uniq2 = 0;
 
-  std::thread worker([&] {
-    n_occ2 = wp_segment_dedupe(data + mid, size - mid, occ2.get(), us2.get(),
-                               ul2.get(), ucp2.get(), &n_uniq2);
+  static HalfWorker worker;
+  worker.run([&] {
+    n_occ2 = wp_segment_dedupe(data + mid, size - mid, occ2, us2,
+                               ul2, ucp2, &n_uniq2);
   });
   int64_t n_uniq1 = 0;
   int64_t n_occ1 = wp_segment_dedupe(data, mid, occ_unique, uniq_start,
                                      uniq_len, uniq_cplen, &n_uniq1);
-  worker.join();
+  worker.wait();
 
   // Merge: map half-2 unique ids into the global table.
   size_t cap = 1;
   while (cap < static_cast<size_t>(2 * (n_uniq1 + n_uniq2) + 1)) cap <<= 1;
   DedupeTable seen(cap);
   for (int64_t u = 0; u < n_uniq1; u++) {
-    uint64_t h = fnv64(data + uniq_start[u], uniq_len[u]);
+    uint64_t h = hash_unit(data, uniq_start[u], uniq_len[u], size);
     size_t b = static_cast<size_t>(h) & seen.mask;
     while (seen.uid[b] >= 0) b = (b + 1) & seen.mask;
     seen.hash[b] = h;
@@ -500,7 +715,7 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
   for (int64_t u = 0; u < n_uniq2; u++) {
     const uint8_t* p = data + mid + us2[u];
     const int32_t len = ul2[u];
-    const uint64_t h = fnv64(p, len);
+    const uint64_t h = hash_unit(data, mid + us2[u], len, size);
     size_t b = static_cast<size_t>(h) & seen.mask;
     int32_t found = -1;
     while (seen.uid[b] >= 0) {
@@ -573,8 +788,23 @@ void wp_bucket_fill(const uint8_t* data, const int64_t* uniq_start,
   }
 }
 
+// Total id count of the per-occurrence expansion (so the caller can
+// allocate the exact output buffer without a numpy gather).
+int64_t wp_expand_total(const int32_t* occ_unique, int64_t n_occ,
+                        const int64_t* tok_offsets) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < n_occ; i++) {
+    const int32_t u = occ_unique[i];
+    n += tok_offsets[u + 1] - tok_offsets[u];
+  }
+  return n;
+}
+
 // Expand per-unique token lists to the per-occurrence id stream.
 // tok_offsets[u]..tok_offsets[u+1] delimit unique u's ids in tok_flat.
+// Zipf: most units emit 1-2 ids, so copy two ids unconditionally (the
+// buffer has >= 2 ids of slack per occurrence) and loop only for long
+// tails.  The caller must size `out` with 2 spare entries.
 int64_t wp_expand(const int32_t* occ_unique, int64_t n_occ,
                   const int32_t* tok_flat, const int64_t* tok_offsets,
                   int32_t* out) {
@@ -582,10 +812,52 @@ int64_t wp_expand(const int32_t* occ_unique, int64_t n_occ,
   for (int64_t i = 0; i < n_occ; i++) {
     const int32_t u = occ_unique[i];
     const int64_t b = tok_offsets[u];
-    const int64_t e = tok_offsets[u + 1];
-    for (int64_t j = b; j < e; j++) out[n++] = tok_flat[j];
+    const int64_t c = tok_offsets[u + 1] - b;
+    std::memcpy(out + n, tok_flat + b, 8);  // ids 0..1 (over-copy is safe)
+    if (c > 2) {
+      for (int64_t j = 2; j < c; j++) out[n + j] = tok_flat[b + j];
+    }
+    n += c;
   }
   return n;
+}
+
+// Verify emitted tokens against the vocabulary strings (hash-collision
+// guard).  mat: int32 (U, W) unit codepoints (pad 32); emit: int32 (U, W)
+// token ids (-2 = no emission).  vocab_cp/vocab_off give token codepoints.
+// Writes rows with any mismatching emission to bad_rows; returns count.
+int64_t wp_verify_emit(const int32_t* mat, const int32_t* emit, int64_t n_rows,
+                       int64_t width, const uint32_t* vocab_cp,
+                       const int64_t* vocab_off, int64_t vocab_size,
+                       int32_t unk_id, int32_t* bad_rows) {
+  int64_t n_bad = 0;
+  for (int64_t r = 0; r < n_rows; r++) {
+    const int32_t* mrow = mat + r * width;
+    const int32_t* erow = emit + r * width;
+    bool bad = false;
+    for (int64_t j = 0; j < width && !bad; j++) {
+      const int32_t tid = erow[j];
+      if (tid == -2 || tid == unk_id) continue;
+      if (tid < 0 || tid >= vocab_size) {
+        bad = true;
+        break;
+      }
+      const int64_t b = vocab_off[tid];
+      const int64_t len = vocab_off[tid + 1] - b;
+      if (j + len > width) {
+        bad = true;
+        break;
+      }
+      for (int64_t k = 0; k < len; k++) {
+        if (static_cast<uint32_t>(mrow[j + k]) != vocab_cp[b + k]) {
+          bad = true;
+          break;
+        }
+      }
+    }
+    if (bad) bad_rows[n_bad++] = static_cast<int32_t>(r);
+  }
+  return n_bad;
 }
 
 // --- Reusable scalar-encoder handle (vocab maps built once) --------------
