@@ -72,6 +72,40 @@ def unpack_emit(emit: np.ndarray, stride: int, n_units: int) -> np.ndarray:
     return units[:n_units, : stride - 1]
 
 
+class _TokenStore:
+    """Growable (flat ids, offsets) holding every unique unit's token list
+    for one encode session; uid u's ids live at flat[offs[u]:offs[u+1]].
+    Keeps >= 2 readable slots past the used region (wp_expand over-reads
+    2 ids per occurrence by design)."""
+
+    def __init__(self):
+        self.flat = np.zeros(1 << 15, dtype=np.int32)
+        self.n = 0
+        self.offs = np.zeros((1 << 14) + 1, dtype=np.int64)
+        self.nu = 0
+
+    def append(self, run_flat: np.ndarray, counts: np.ndarray) -> None:
+        """Append k new units' runs (run_flat in uid order; counts int64[k])."""
+        k = counts.shape[0]
+        m = run_flat.shape[0]
+        if self.n + m + 2 > self.flat.shape[0]:
+            cap = max(self.n + m + 2, 2 * self.flat.shape[0])
+            nf = np.zeros(cap, dtype=np.int32)
+            nf[: self.n] = self.flat[: self.n]
+            self.flat = nf
+        if self.nu + k + 1 > self.offs.shape[0]:
+            cap = max(self.nu + k + 1, 2 * self.offs.shape[0])
+            no = np.zeros(cap, dtype=np.int64)
+            no[: self.nu + 1] = self.offs[: self.nu + 1]
+            self.offs = no
+        self.flat[self.n : self.n + m] = run_flat
+        seg = self.offs[self.nu + 1 : self.nu + 1 + k]
+        np.cumsum(counts, out=seg)
+        seg += self.n
+        self.n += m
+        self.nu += k
+
+
 class WordEncoder:
     """Deduped unit encoder (the production fast path)."""
 
@@ -98,6 +132,7 @@ class WordEncoder:
         self._tab_k2 = jnp.asarray(self.tables.k2)
         self._tab_id = jnp.asarray(self.tables.tid)
         self._scalar = loader.VocabHandle(vocab)
+        self._executor = None  # lazy 1-thread pool for pipelined prepares
         self.stats = None  # optional utils.profiling.StageStats
         self._statics = dict(
             max_len=int(self.tables.max_len),
@@ -117,6 +152,9 @@ class WordEncoder:
     def _dispatch_buckets(self, mats: list[np.ndarray]):
         """Start the device program for all non-empty buckets (async under
         jax dispatch); returns an opaque handle for _fetch_buckets."""
+        override = self.__dict__.get("_run_all_buckets")
+        if override is not None:  # e.g. ShardedWordEncoder's mesh step
+            return ("sync", override(mats))
         if not self._use_pallas():
             emits = [
                 self._run_bucket(m, WIDTHS[b]) if m.shape[0] else None
@@ -304,96 +342,143 @@ class WordEncoder:
                 emit[r, : ids.shape[0]] = ids
         return emit
 
-    # Pipelined chunking: host segmentation/stitching of later chunks
-    # overlaps the async-dispatched device programs (and their async D2H
-    # copies) of earlier chunks.  Measured on this 2-core host the
-    # orchestration CPU cost of extra chunks outweighs the hidden device
-    # latency below ~32MB, so small corpora run as ONE chunk; chunking
-    # kicks in for large corpora (bounding peak host memory) where the
-    # per-chunk overhead amortizes.
-    PIPELINE_CHUNK = 32_000_000
-    PIPELINE_MIN = 40_000_000  # below this a single chunk is faster
+    # Pipelined chunking over a persistent dedupe session: occurrence ids
+    # are GLOBAL across chunks (native session table, arena-backed), so
+    # each chunk dispatches only its first-seen units to the device —
+    # chunking costs no dedupe loss.  Chunk k+1's host segmentation runs
+    # on a worker thread (ctypes releases the GIL) while the main thread
+    # fetches/stitches/expands chunk k; device programs and D2H copies of
+    # in-window chunks proceed asynchronously throughout.
+    PIPELINE_CHUNK = 2_000_000
     PIPELINE_WINDOW = 4  # max chunks in flight (bounds host memory)
 
-    def encode_bytes(self, data: bytes) -> np.ndarray:
-        if len(data) <= self.PIPELINE_MIN:
-            return self._encode_chunk(data)
-        # Split at ASCII-space boundaries (units never span spaces).
-        chunks = []
-        begin = 0
-        n = len(data)
-        while begin < n:
-            end = min(n, begin + self.PIPELINE_CHUNK)
-            while end < n and data[end] != 0x20:
-                end += 1
-            chunks.append(data[begin:end])
-            begin = end
-        outs = []
-        from collections import deque
+    def _stage(self, name, nbytes=0):
+        import contextlib
 
-        window: deque = deque()
-        for chunk in chunks:
-            window.append((chunk, self._prepare_chunk(chunk)))
-            if len(window) >= self.PIPELINE_WINDOW:
-                outs.append(self._finish_chunk(*window.popleft()))
-        while window:
-            outs.append(self._finish_chunk(*window.popleft()))
-        outs = [o for o in outs if o.size]
-        return np.concatenate(outs) if outs else np.zeros(0, np.int32)
+        st = self.stats
+        return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
+
+    def encode_bytes(self, data: bytes) -> np.ndarray:
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        session = loader.DedupeSession()
+        store = _TokenStore()
+        try:
+            if len(data) <= self.PIPELINE_CHUNK:
+                return self._finish_chunk(
+                    data, self._prepare_chunk(data, session), store
+                )
+            # Split at ASCII-space boundaries (units never span spaces).
+            chunks = []
+            begin = 0
+            n = len(data)
+            while begin < n:
+                end = min(n, begin + self.PIPELINE_CHUNK)
+                while end < n and data[end] != 0x20:
+                    end += 1
+                chunks.append(data[begin:end])
+                begin = end
+            if self._executor is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._executor = ThreadPoolExecutor(max_workers=1)
+            from collections import deque
+
+            outs = []
+            window: deque = deque()
+            try:
+                for ci, chunk in enumerate(chunks):
+                    window.append(
+                        (
+                            chunk,
+                            self._executor.submit(
+                                self._prepare_chunk, chunk, session, ci == 0
+                            ),
+                        )
+                    )
+                    if len(window) >= self.PIPELINE_WINDOW:
+                        c, f = window.popleft()
+                        outs.append(self._finish_chunk(c, f.result(), store))
+                while window:
+                    c, f = window.popleft()
+                    outs.append(self._finish_chunk(c, f.result(), store))
+            finally:
+                # Drain in-flight prepares before the session dies.
+                for _, f in window:
+                    try:
+                        f.result()
+                    except Exception:
+                        pass
+            outs = [o for o in outs if o.size]
+            return np.concatenate(outs) if outs else np.zeros(0, np.int32)
+        finally:
+            session.close()
+
+    # Small first-seen batches encode on the native host oracle instead of
+    # paying a device round trip (the tunnel's ~20ms buys >>10k scalar
+    # units).  Applied only after the session's first device dispatch so
+    # single-chunk encodes (and the kernel test suite) always exercise the
+    # device kernels; in the pipeline this is the Zipf tail — later chunks
+    # introduce a few hundred novel units each.
+    SCALAR_MAX_NEW = 4096
 
     # -- host orchestration ------------------------------------------------
-    def _encode_chunk(self, data: bytes) -> np.ndarray:
-        import contextlib
-
-        st = self.stats
-        def stage(name, nbytes=0):
-            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
-
-        if len(data) == 0:
-            return np.zeros(0, dtype=np.int32)
-        return self._finish_chunk(data, self._prepare_chunk(data))
-
-    def _prepare_chunk(self, data: bytes):
-        """Host phases + async device dispatch for one chunk."""
-        import contextlib
-
-        st = self.stats
-        def stage(name, nbytes=0):
-            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
-
-        if len(data) == 0:
-            return None
-        with stage("host_segment_dedupe", len(data)):
-            occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
-        if ustart.shape[0] == 0:
-            return None
-        with stage("host_bucket_fill"):
+    def _prepare_chunk(
+        self, data: bytes, session: loader.DedupeSession, first: bool = True
+    ):
+        """Host phases + async device dispatch for one chunk.  Returns
+        (occ global uids, new_start, new_len, mats, bucket_of, row_of,
+        device handle); the last five are None when the chunk introduces
+        no new units.  handle ("scalar", flat, counts) marks host-encoded
+        batches (already in uid order, no device fetch)."""
+        with self._stage("host_segment_dedupe", len(data)):
+            occ, nstart, nlen, ncplen = session.segment(data)
+        if nstart.shape[0] == 0:
+            return (occ, None, None, None, None, None, None)
+        if not first and nstart.shape[0] <= self.SCALAR_MAX_NEW:
+            with self._stage("host_scalar_units"):
+                flat, counts = self._scalar.encode_units(
+                    data, nstart, nlen, int(ncplen.sum())
+                )
+            return (occ, nstart, nlen, None, None, None, ("scalar", flat, counts))
+        with self._stage("host_bucket_fill"):
             mats, bucket_of, row_of = loader.bucket_fill(
-                data, ustart, ulen, ucplen, list(WIDTHS)
+                data, nstart, nlen, ncplen, list(WIDTHS)
             )
-        with stage("device_dispatch"):
+        with self._stage("device_dispatch"):
             handle = self._dispatch_buckets(mats)
-        return (occ, ustart, ulen, mats, bucket_of, row_of, handle)
+        return (occ, nstart, nlen, mats, bucket_of, row_of, handle)
 
-    def _finish_chunk(self, data: bytes, state) -> np.ndarray:
-        """Fetch device results for one chunk, verify, stitch, expand."""
-        import contextlib
-
-        st = self.stats
-        def stage(name, nbytes=0):
-            return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
-
-        if state is None:
+    def _finish_chunk(self, data: bytes, state, store: _TokenStore) -> np.ndarray:
+        """Fetch device results for one chunk's NEW units, verify, stitch
+        them into the session store, then expand the chunk's occurrence
+        stream from the store."""
+        occ, nstart, nlen, mats, bucket_of, row_of, handle = state
+        if nstart is not None:
+            if isinstance(handle, tuple) and handle[0] == "scalar":
+                _, flat, counts = handle
+                store.append(flat, counts.astype(np.int64))
+            else:
+                self._stitch_new_units(
+                    data, nstart, nlen, mats, bucket_of, row_of, handle, store
+                )
+        if occ.shape[0] == 0:
             return np.zeros(0, dtype=np.int32)
-        occ, ustart, ulen, mats, bucket_of, row_of, handle = state
-        nu = ustart.shape[0]
+        with self._stage("host_expand"):
+            out = loader.expand(
+                occ, store.flat, store.offs[: store.nu + 1], slack=True
+            )
+        return out if out is not None else np.zeros(0, np.int32)
 
-        # Per-unique token lists, flattened per bucket then stitched.
+    def _stitch_new_units(
+        self, data, nstart, nlen, mats, bucket_of, row_of, handle, store
+    ) -> None:
+        n_new = nstart.shape[0]
         n_buckets = len(WIDTHS)
-        with stage("device_fetch", len(data)):
+        with self._stage("device_fetch", len(data)):
             emits = self._fetch_buckets(handle)
         if self.verify:
-            with stage("host_verify"):
+            with self._stage("host_verify"):
                 for b, mat in enumerate(mats):
                     if mat.shape[0]:
                         emits[b] = self._verify_emit(mat, emits[b])
@@ -416,12 +501,11 @@ class WordEncoder:
         overflow_ids: dict[int, np.ndarray] = {}
         overflow_sel = np.nonzero(bucket_of == n_buckets)[0]
         for u in overflow_sel:
-            cps = loader.decode_utf8(
-                data[ustart[u] : ustart[u] + ulen[u]]
-            )
+            cps = loader.decode_utf8(data[nstart[u] : nstart[u] + nlen[u]])
             overflow_ids[int(u)] = self._scalar.encode(cps)
 
-        # Stitch per-unique (offset, count) into one flat array.
+        # Stitch per-new-unit (offset, count) into one flat array in uid
+        # order, then append to the session store.
         base = np.zeros(n_buckets + 1, dtype=np.int64)
         for b in range(n_buckets):
             base[b + 1] = base[b] + flats[b].shape[0]
@@ -430,11 +514,10 @@ class WordEncoder:
             if overflow_sel.size
             else np.zeros(0, np.int32)
         )
-        tok_flat = np.concatenate(flats + [over_flat]) if nu else np.zeros(0, np.int32)
+        tok_flat = np.concatenate(flats + [over_flat])
 
-        offsets = np.zeros(nu + 1, dtype=np.int64)
-        counts_u = np.zeros(nu, dtype=np.int64)
-        starts_u = np.zeros(nu, dtype=np.int64)
+        counts_u = np.zeros(n_new, dtype=np.int64)
+        starts_u = np.zeros(n_new, dtype=np.int64)
         for b in range(n_buckets):
             sel = bucket_of == b
             if not sel.any():
@@ -444,17 +527,14 @@ class WordEncoder:
             starts_u[sel] = base[b] + offs[rows]
             counts_u[sel] = offs[rows + 1] - offs[rows]
         if overflow_sel.size:
-            over_base = base[n_buckets]
-            pos = over_base
+            pos = base[n_buckets]
             for u in overflow_sel:
                 c = overflow_ids[int(u)].shape[0]
                 starts_u[u] = pos
                 counts_u[u] = c
                 pos += c
 
-        # Re-pack flat so unique u's ids live at offsets[u]:offsets[u+1].
-        np.cumsum(counts_u, out=offsets[1:])
-        total = int(offsets[-1])
+        total = int(counts_u.sum())
         order_flat = np.empty(total, dtype=np.int32)
         if total:
             # Vectorized ragged-range gather (no Python loop): a delta
@@ -468,10 +548,7 @@ class WordEncoder:
             if su.shape[0] > 1:
                 d[first_pos[1:]] = su[1:] - (su[:-1] + ln[:-1]) + 1
             order_flat[:] = tok_flat[np.cumsum(d)]
-
-        with stage("host_expand"):
-            out = loader.expand(occ, order_flat, offsets)
-        return out if out is not None else np.zeros(0, np.int32)
+        store.append(order_flat, counts_u)
 
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         """Compatibility entry: re-encode cps to UTF-8 bytes first."""

@@ -125,6 +125,33 @@ def _load():
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.wp_encode_units_with.restype = ctypes.c_int64
+        lib.wp_encode_units_with.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.wp_dedupe_session_new.restype = ctypes.c_void_p
+        lib.wp_dedupe_session_new.argtypes = []
+        lib.wp_dedupe_session_free.restype = None
+        lib.wp_dedupe_session_free.argtypes = [ctypes.c_void_p]
+        lib.wp_dedupe_session_segment.restype = ctypes.c_int64
+        lib.wp_dedupe_session_segment.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
         lib.wp_vocab_new.restype = ctypes.c_void_p
         lib.wp_vocab_new.argtypes = [
             ctypes.c_void_p,
@@ -256,6 +283,89 @@ def segment_dedupe(data: bytes):
     )
 
 
+class DedupeSession:
+    """Cross-chunk dedupe: occurrence ids are global across `segment`
+    calls; each call returns only the chunk's first-seen units (in global
+    uid order, offsets into that chunk's bytes).  One session per corpus
+    encode; not thread-safe (call segment from one thread at a time)."""
+
+    import threading as _threading
+
+    _tls = _threading.local()
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native host runtime unavailable")
+        self._lib = lib
+        self._h = lib.wp_dedupe_session_new()
+        self.n_total = 0
+
+    @staticmethod
+    def _buf(name: str, cap: int, dtype) -> np.ndarray:
+        """Thread-local scratch, reused across sessions (sessions are
+        per-encode-call; fresh buffers would page-fault every call).
+        Safe: segment() is documented single-threaded, and the returned
+        arrays are copies."""
+        import threading
+
+        tls = DedupeSession._tls
+        scr = getattr(tls, "scr", None)
+        if scr is None:
+            scr = tls.scr = {}
+        arr = scr.get(name)
+        if arr is None or arr.shape[0] < cap:
+            arr = np.empty(int(cap * 1.25) + 16, dtype=dtype)
+            scr[name] = arr
+        return arr
+
+    def segment(self, data: bytes):
+        """-> (occ int32[n_occ] global uids, new_start int64[n_new],
+        new_len int32[n_new], new_cplen int32[n_new]).  All four are
+        copies (safe to hold across later segment calls)."""
+        size = len(data)
+        cap = max(size, 1)
+        buf = np.frombuffer(data, dtype=np.uint8) if size else np.zeros(1, np.uint8)
+        occ = self._buf("occ", cap, np.int32)
+        nstart = self._buf("nstart", cap, np.int64)
+        nlen = self._buf("nlen", cap, np.int32)
+        ncplen = self._buf("ncplen", cap, np.int32)
+        n_new = ctypes.c_int64(0)
+        n_total = ctypes.c_int64(0)
+        n_threads = min(os.cpu_count() or 1, 2)
+        n_occ = self._lib.wp_dedupe_session_segment(
+            self._h,
+            buf.ctypes.data_as(ctypes.c_void_p),
+            size,
+            occ.ctypes.data_as(ctypes.c_void_p),
+            nstart.ctypes.data_as(ctypes.c_void_p),
+            nlen.ctypes.data_as(ctypes.c_void_p),
+            ncplen.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(n_new),
+            ctypes.byref(n_total),
+            np.int32(n_threads),
+        )
+        self.n_total = n_total.value
+        k = n_new.value
+        return (
+            occ[:n_occ].copy(),
+            nstart[:k].copy(),
+            nlen[:k].copy(),
+            ncplen[:k].copy(),
+        )
+
+    def close(self):
+        if self._h is not None:
+            self._lib.wp_dedupe_session_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def bucket_fill(data: bytes, ustart, ulen, ucplen, widths):
     """Pack unique units into width-bucketed int32 codepoint matrices.
 
@@ -295,15 +405,18 @@ def bucket_fill(data: bytes, ustart, ulen, ucplen, widths):
     return matrices, bucket_of, row_of
 
 
-def expand(occ_unique, tok_flat, tok_offsets) -> np.ndarray | None:
+def expand(occ_unique, tok_flat, tok_offsets, *, slack: bool = False) -> np.ndarray | None:
+    """slack=True promises tok_flat already has >= 2 readable int32 slots
+    past tok_offsets[-1] (wp_expand over-reads 2 ids per occurrence)."""
     lib = _load()
     if lib is None:
         return None
     occ = np.ascontiguousarray(occ_unique, np.int32)
     flat = np.ascontiguousarray(tok_flat, np.int32)
     offs = np.ascontiguousarray(tok_offsets, np.int64)
-    # wp_expand over-copies up to 2 ids per step: give flat 2 spare reads.
-    flat = np.concatenate([flat, np.zeros(2, np.int32)])
+    if not slack:
+        # wp_expand over-copies up to 2 ids per step: give 2 spare reads.
+        flat = np.concatenate([flat, np.zeros(2, np.int32)])
     total = int(
         lib.wp_expand_total(
             occ.ctypes.data_as(ctypes.c_void_p),
@@ -376,6 +489,28 @@ class VocabHandle:
             out.ctypes.data_as(ctypes.c_void_p),
         )
         return out[:n].copy()
+
+    def encode_units(self, data: bytes, starts, lens, cap: int):
+        """Encode many byte-span units in one native call.
+
+        -> (flat int32[sum counts], counts int32[n_units]); `cap` must be
+        >= the total codepoint length of the units."""
+        starts = np.ascontiguousarray(starts, np.int64)
+        lens = np.ascontiguousarray(lens, np.int32)
+        nu = starts.shape[0]
+        buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.zeros(1, np.uint8)
+        flat = np.empty(max(cap, 1) + 1, dtype=np.int32)
+        counts = np.empty(max(nu, 1), dtype=np.int32)
+        n = self._lib.wp_encode_units_with(
+            self._h,
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            nu,
+            flat.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p),
+        )
+        return flat[:n], counts[:nu]
 
     def __del__(self):
         try:

@@ -745,6 +745,127 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
   return n_occ1 + n_occ2;
 }
 
+// --- Persistent dedupe session (cross-chunk pipelining) -------------------
+//
+// The windowed encode pipeline segments the corpus in ~MB chunks so host
+// phases overlap device dispatch; with per-chunk dedupe every chunk would
+// re-dispatch the (Zipf-saturated) unique set.  A session keeps one global
+// unit table across chunks: occurrence ids are global, and each chunk
+// returns only its first-seen units (whose bytes are copied into a
+// session-owned arena so lookups survive the chunk buffer's lifetime).
+// Analogous role to the reference's process-lifetime hashmaps built once
+// per encode call (src/fast.cpp:21-36) — here amortized across the
+// streaming chunk loop instead.
+
+struct WpDedupeSession {
+  std::vector<uint64_t> hash;
+  std::vector<int32_t> uid;
+  size_t mask;
+  std::vector<uint8_t> arena;   // unique-unit bytes, append-only
+  std::vector<int64_t> astart;  // per-uid arena offset
+  std::vector<int32_t> alen;    // per-uid byte length
+  int64_t n_uniq = 0;
+
+  WpDedupeSession() : hash(1 << 16, 0), uid(1 << 16, -1), mask((1 << 16) - 1) {}
+
+  void grow_table() {
+    const size_t ncap = 2 * (mask + 1);
+    std::vector<uint64_t> nh(ncap, 0);
+    std::vector<int32_t> nu(ncap, -1);
+    const size_t nmask = ncap - 1;
+    for (size_t s = 0; s <= mask; s++) {
+      if (uid[s] < 0) continue;
+      size_t b = static_cast<size_t>(hash[s]) & nmask;
+      while (nu[b] >= 0) b = (b + 1) & nmask;
+      nh[b] = hash[s];
+      nu[b] = uid[s];
+    }
+    hash.swap(nh);
+    uid.swap(nu);
+    mask = nmask;
+  }
+};
+
+extern "C" {
+
+void* wp_dedupe_session_new() { return new WpDedupeSession(); }
+
+void wp_dedupe_session_free(void* h) { delete static_cast<WpDedupeSession*>(h); }
+
+// Segment one chunk; occurrence ids are global across the session.
+// Outputs: occ_unique (global uids), new_{start,len,cplen} describe only
+// this chunk's first-seen units as offsets into `data`, in uid order
+// (uids n_before .. n_before+n_new-1).  Returns n_occ; *n_new_out and
+// *n_total_out report the new and cumulative unique counts.
+int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
+                                  int64_t size, int32_t* occ_unique,
+                                  int64_t* new_start, int32_t* new_len,
+                                  int32_t* new_cplen, int64_t* n_new_out,
+                                  int64_t* n_total_out, int32_t n_threads) {
+  WpDedupeSession* s = static_cast<WpDedupeSession*>(handle);
+  // Chunk-local scratch is thread_local, NOT per-session: sessions are
+  // created per encode call, and zero-initializing fresh vectors would
+  // page-fault ~20 bytes per corpus byte on every call.  Safe because a
+  // session is documented single-threaded per segment call.
+  static thread_local std::vector<int32_t> occ_l, ul_l, ucp_l, remap_v;
+  static thread_local std::vector<int64_t> us_l;
+  const size_t cap = static_cast<size_t>(std::max<int64_t>(size, 1));
+  if (occ_l.size() < cap) {
+    occ_l.resize(cap);
+    ul_l.resize(cap);
+    ucp_l.resize(cap);
+    us_l.resize(cap);
+  }
+  int64_t n_uniq_c = 0;
+  const int64_t n_occ = wp_segment_dedupe_mt(
+      data, size, occ_l.data(), us_l.data(), ul_l.data(),
+      ucp_l.data(), &n_uniq_c, n_threads);
+
+  // Merge chunk-local uniques into the session table.
+  if (remap_v.size() < static_cast<size_t>(n_uniq_c))
+    remap_v.resize(static_cast<size_t>(n_uniq_c));
+  int64_t n_new = 0;
+  for (int64_t u = 0; u < n_uniq_c; u++) {
+    const int64_t start = us_l[static_cast<size_t>(u)];
+    const int32_t len = ul_l[static_cast<size_t>(u)];
+    const uint64_t h = hash_unit(data, start, len, size);
+    size_t b = static_cast<size_t>(h) & s->mask;
+    int32_t found = -1;
+    while (s->uid[b] >= 0) {
+      const int32_t cand = s->uid[b];
+      if (s->hash[b] == h && s->alen[static_cast<size_t>(cand)] == len &&
+          std::memcmp(s->arena.data() + s->astart[static_cast<size_t>(cand)],
+                      data + start, static_cast<size_t>(len)) == 0) {
+        found = cand;
+        break;
+      }
+      b = (b + 1) & s->mask;
+    }
+    if (found < 0) {
+      found = static_cast<int32_t>(s->n_uniq++);
+      s->astart.push_back(static_cast<int64_t>(s->arena.size()));
+      s->alen.push_back(len);
+      s->arena.insert(s->arena.end(), data + start, data + start + len);
+      s->hash[b] = h;
+      s->uid[b] = found;
+      if (static_cast<size_t>(s->n_uniq) * 2 > s->mask) s->grow_table();
+      new_start[n_new] = start;
+      new_len[n_new] = len;
+      new_cplen[n_new] = ucp_l[static_cast<size_t>(u)];
+      n_new++;
+    }
+    remap_v[static_cast<size_t>(u)] = found;
+  }
+  const int32_t* remap = remap_v.data();
+  const int32_t* occ_p = occ_l.data();
+  for (int64_t i = 0; i < n_occ; i++) occ_unique[i] = remap[occ_p[i]];
+  *n_new_out = n_new;
+  *n_total_out = s->n_uniq;
+  return n_occ;
+}
+
+}  // extern "C"
+
 // Fill width-bucketed codepoint matrices with the unique units.
 // widths[n_buckets] ascending; a unit goes to the smallest width >= cplen,
 // or to the overflow list if cplen > widths[n_buckets-1].
@@ -938,6 +1059,35 @@ int64_t wp_encode_with(void* handle, const uint32_t* text, int64_t n,
     while (begin != end && is_space_cp(text[begin])) begin++;
   }
   return count;
+}
+
+// Batched unit encoder: UTF-8-decode and MaxMatch-encode n_units byte
+// spans of `data` in one call (the pipeline's host path for small
+// first-seen batches, where a device round trip costs more than the
+// units).  out_flat needs capacity >= sum of unit codepoint lengths.
+int64_t wp_encode_units_with(void* handle, const uint8_t* data,
+                             const int64_t* starts, const int32_t* lens,
+                             int64_t n_units, int32_t* out_flat,
+                             int32_t* out_counts) {
+  thread_local std::vector<uint32_t> cps;
+  int64_t n = 0;
+  for (int64_t u = 0; u < n_units; u++) {
+    const uint8_t* p = data + starts[u];
+    int64_t remaining = lens[u];
+    cps.clear();
+    while (remaining > 0) {
+      int64_t consumed;
+      const uint32_t cp = decode_one(p, remaining, &consumed);
+      if (cp != kInvalid) cps.push_back(cp);
+      p += consumed;
+      remaining -= consumed;
+    }
+    const int64_t c = wp_encode_with(
+        handle, cps.data(), static_cast<int64_t>(cps.size()), out_flat + n);
+    out_counts[u] = static_cast<int32_t>(c);
+    n += c;
+  }
+  return n;
 }
 
 }  // extern "C"
