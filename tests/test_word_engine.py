@@ -113,3 +113,66 @@ def test_word_engine_multilingual():
 def test_word_engine_unk_rollback_in_units():
     run_both("abcdex abcde", ["ab", "##c", "##d", "##e", "abcde"])
     run_both("中xyq 中", ["中", "x", "##y"])
+
+
+def test_dedupe_session_matches_oneshot():
+    """Chunked session segmentation == one-shot: same occurrence strings,
+    same global unique count, new units reported exactly once."""
+    from wordpiece_tpu.bench.corpus import make_corpus
+
+    data = make_corpus(2_500_000)
+    occ_ref, us, ul, _ = loader.segment_dedupe(data)
+    ref_units = [data[int(s) : int(s) + int(l)] for s, l in zip(us, ul)]
+
+    sess = loader.DedupeSession()
+    units: list[bytes] = []
+    occs = []
+    b = 0
+    while b < len(data):
+        e = min(len(data), b + 300_000)
+        while e < len(data) and data[e] != 0x20:
+            e += 1
+        chunk = data[b:e]
+        occ, ns, nl, _ = sess.segment(chunk)
+        occs.append(occ)
+        for s, l in zip(ns.tolist(), nl.tolist()):
+            units.append(chunk[s : s + l])
+        b = e
+    occ_all = np.concatenate(occs)
+    assert sess.n_total == len(units) == len(ref_units)
+    assert occ_all.shape == occ_ref.shape
+    got = [units[i] for i in occ_all.tolist()]
+    want = [ref_units[i] for i in occ_ref.tolist()]
+    assert got == want
+    sess.close()
+
+
+def test_word_engine_pipelined_multichunk_matches_oracle():
+    """A corpus spanning several pipeline chunks (exercising the session,
+    the worker-thread prepares, and the hybrid host-scalar path for small
+    first-seen batches) must match the scalar oracle id-for-id."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(5_000_000)
+    vocab = parse_vocab(make_vocab(data, vocab_size=8000))
+    enc = WordEncoder(vocab)
+    assert len(data) > enc.PIPELINE_CHUNK  # really multi-chunk
+    got = enc.encode_bytes(data)
+    want = loader.VocabHandle(vocab).encode(uni.decode_utf8(data))
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
+
+
+def test_word_engine_hybrid_scalar_threshold_paths():
+    """Force both dispatch policies on the same multi-chunk input."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(4_200_000)
+    vocab = parse_vocab(make_vocab(data, vocab_size=4000))
+    dev = WordEncoder(vocab)
+    dev.SCALAR_MAX_NEW = 0  # device kernels for every chunk
+    host = WordEncoder(vocab)
+    host.SCALAR_MAX_NEW = 1 << 30  # host oracle for all chunks after the first
+    a = dev.encode_bytes(data)
+    b = host.encode_bytes(data)
+    assert np.array_equal(a, b)
