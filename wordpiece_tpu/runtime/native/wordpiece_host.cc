@@ -305,33 +305,38 @@ namespace {
 
 // Open-addressing dedupe table: far faster than unordered_map (no
 // allocation, 64-bit hash compare before memcmp).
+// Open-addressing (hash, uid) table, AoS so a probe touches ONE cache
+// line (separate hash[]/uid[] arrays cost two).  memset 0xFF marks every
+// slot empty: uid == -1, hash == ~0 (a hash value never dereferenced).
 struct DedupeTable {
-  std::vector<uint64_t> hash;
-  std::vector<int32_t> uid;
+  struct Slot {
+    uint64_t hash;
+    int32_t uid;
+    int32_t pad_;
+  };
+  std::vector<Slot> t;
   size_t mask;
-  explicit DedupeTable(size_t cap_pow2) : hash(cap_pow2, 0), uid(cap_pow2, -1), mask(cap_pow2 - 1) {}
+  explicit DedupeTable(size_t cap_pow2) : t(cap_pow2), mask(cap_pow2 - 1) {
+    std::memset(t.data(), 0xFF, t.size() * sizeof(Slot));
+  }
   void reset(size_t cap_pow2) {
-    if (hash.size() < cap_pow2) {
-      hash.assign(cap_pow2, 0);
-      uid.assign(cap_pow2, -1);
+    if (t.size() < cap_pow2) {
+      t.resize(cap_pow2);
       mask = cap_pow2 - 1;
     } else {
-      // Keep the grown capacity; only uid needs clearing (uid<0 = empty).
-      std::memset(uid.data(), 0xFF, uid.size() * sizeof(int32_t));
-      mask = uid.size() - 1;
+      mask = t.size() - 1;  // keep the grown capacity
     }
+    std::memset(t.data(), 0xFF, t.size() * sizeof(Slot));
   }
-  void grow(const uint8_t* data, const int64_t* ustart, const int32_t* ulen) {
+  void grow() {
     DedupeTable bigger(2 * (mask + 1));
     for (size_t s = 0; s <= mask; s++) {
-      if (uid[s] >= 0) {
-        size_t b = static_cast<size_t>(hash[s]) & bigger.mask;
-        while (bigger.uid[b] >= 0) b = (b + 1) & bigger.mask;
-        bigger.hash[b] = hash[s];
-        bigger.uid[b] = uid[s];
+      if (t[s].uid >= 0) {
+        size_t b = static_cast<size_t>(t[s].hash) & bigger.mask;
+        while (bigger.t[b].uid >= 0) b = (b + 1) & bigger.mask;
+        bigger.t[b] = t[s];
       }
     }
-    (void)data; (void)ustart; (void)ulen;
     *this = std::move(bigger);
   }
 };
@@ -534,17 +539,14 @@ class HalfWorker {
 
 }  // namespace
 
-int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
-                          int32_t* occ_unique, int64_t* uniq_start,
-                          int32_t* uniq_len, int32_t* uniq_cplen,
-                          int64_t* n_unique_out) {
-  thread_local ClassMasks cm;
-  build_class_masks(data, size, &cm);
-  thread_local DedupeTable seen(1 << 16);
-  seen.reset(1 << 16);
-  int64_t n_occ = 0;
-  int64_t n_uniq = 0;
-  int64_t i = 0;
+namespace {
+
+// Scan the next unit at or after *pi.  On success advances *pi past the
+// unit and fills (start, klen, cplen); returns false at end of data.
+inline bool scan_unit(const uint8_t* data, int64_t size, const ClassMasks& cm,
+                      int64_t* pi, int64_t* out_start, int32_t* out_klen,
+                      int32_t* out_cplen) {
+  int64_t i = *pi;
   while (i < size) {
     const int64_t w0 = i >> 6;
     const uint64_t bit0 = 1ull << (i & 63);
@@ -617,13 +619,52 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
         }
       }
     }
-    const int32_t klen = static_cast<int32_t>(i - start);
-    const uint64_t h = hash_unit(data, start, klen, size);
+    *pi = i;
+    *out_start = start;
+    *out_klen = static_cast<int32_t>(i - start);
+    *out_cplen = cplen;
+    return true;
+  }
+  *pi = i;
+  return false;
+}
+
+}  // namespace
+
+int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
+                          int32_t* occ_unique, int64_t* uniq_start,
+                          int32_t* uniq_len, int32_t* uniq_cplen,
+                          int64_t* n_unique_out) {
+  thread_local ClassMasks cm;
+  build_class_masks(data, size, &cm);
+  thread_local DedupeTable seen(1 << 16);
+  seen.reset(1 << 16);
+  int64_t n_occ = 0;
+  int64_t n_uniq = 0;
+  int64_t i = 0;
+
+  // 1-deep software pipeline: while probing unit k the table slot of
+  // unit k+1 is already being prefetched (the probe's L2 miss overlaps
+  // the next boundary scan + hash).
+  int64_t start, nstart;
+  int32_t klen, cplen, nklen, ncplen;
+  uint64_t h = 0, nh = 0;
+  bool have = scan_unit(data, size, cm, &i, &start, &klen, &cplen);
+  if (have) {
+    h = hash_unit(data, start, klen, size);
+    __builtin_prefetch(&seen.t[static_cast<size_t>(h) & seen.mask]);
+  }
+  while (have) {
+    const bool have_next = scan_unit(data, size, cm, &i, &nstart, &nklen, &ncplen);
+    if (have_next) {
+      nh = hash_unit(data, nstart, nklen, size);
+      __builtin_prefetch(&seen.t[static_cast<size_t>(nh) & seen.mask]);
+    }
     size_t b = static_cast<size_t>(h) & seen.mask;
     int32_t uid = -1;
-    while (seen.uid[b] >= 0) {
-      if (seen.hash[b] == h) {
-        const int32_t cand = seen.uid[b];
+    while (seen.t[b].uid >= 0) {
+      if (seen.t[b].hash == h) {
+        const int32_t cand = seen.t[b].uid;
         if (uniq_len[cand] == klen &&
             std::memcmp(data + uniq_start[cand], data + start,
                         static_cast<size_t>(klen)) == 0) {
@@ -639,13 +680,20 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
       uniq_len[n_uniq] = klen;
       uniq_cplen[n_uniq] = cplen;
       n_uniq++;
-      seen.hash[b] = h;
-      seen.uid[b] = uid;
+      seen.t[b].hash = h;
+      seen.t[b].uid = uid;
       if (static_cast<size_t>(n_uniq) * 2 > seen.mask) {
-        seen.grow(data, uniq_start, uniq_len);
+        seen.grow();
+        if (have_next)
+          __builtin_prefetch(&seen.t[static_cast<size_t>(nh) & seen.mask]);
       }
     }
     occ_unique[n_occ++] = uid;
+    start = nstart;
+    klen = nklen;
+    cplen = ncplen;
+    h = nh;
+    have = have_next;
   }
   *n_unique_out = n_uniq;
   return n_occ;
@@ -706,9 +754,9 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
   for (int64_t u = 0; u < n_uniq1; u++) {
     uint64_t h = hash_unit(data, uniq_start[u], uniq_len[u], size);
     size_t b = static_cast<size_t>(h) & seen.mask;
-    while (seen.uid[b] >= 0) b = (b + 1) & seen.mask;
-    seen.hash[b] = h;
-    seen.uid[b] = static_cast<int32_t>(u);
+    while (seen.t[b].uid >= 0) b = (b + 1) & seen.mask;
+    seen.t[b].hash = h;
+    seen.t[b].uid = static_cast<int32_t>(u);
   }
   int64_t n_uniq = n_uniq1;
   std::vector<int32_t> remap(static_cast<size_t>(n_uniq2));
@@ -718,9 +766,9 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
     const uint64_t h = hash_unit(data, mid + us2[u], len, size);
     size_t b = static_cast<size_t>(h) & seen.mask;
     int32_t found = -1;
-    while (seen.uid[b] >= 0) {
-      const int32_t cand = seen.uid[b];
-      if (seen.hash[b] == h && uniq_len[cand] == len &&
+    while (seen.t[b].uid >= 0) {
+      const int32_t cand = seen.t[b].uid;
+      if (seen.t[b].hash == h && uniq_len[cand] == len &&
           std::memcmp(data + uniq_start[cand], p, static_cast<size_t>(len)) == 0) {
         found = cand;
         break;
@@ -733,8 +781,8 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
       uniq_len[n_uniq] = len;
       uniq_cplen[n_uniq] = ucp2[u];
       n_uniq++;
-      seen.hash[b] = h;
-      seen.uid[b] = found;
+      seen.t[b].hash = h;
+      seen.t[b].uid = found;
     }
     remap[static_cast<size_t>(u)] = found;
   }
