@@ -190,11 +190,10 @@ class WordEncoder:
             cap=cap,
             **self._statics,
         )
-        for leaf in out_dev:
-            try:
-                leaf.copy_to_host_async()  # overlap D2H with later host work
-            except AttributeError:
-                pass
+        try:
+            out_dev.copy_to_host_async()  # overlap D2H with later host work
+        except AttributeError:
+            pass
         rows = [pk.shape[0] for pk in packed]
         sizes = [mats[b].shape[0] for b in nonempty]
         return ("async", out_dev, nonempty, rows, sizes, len(mats), cap, packed, strides)
@@ -203,11 +202,13 @@ class WordEncoder:
         if handle[0] == "sync":
             return handle[1]
         _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
-        total = int(out_dev[2])
+        fused = np.asarray(out_dev)  # ONE D2H transfer
+        total = int(fused[0])
         if total > cap:  # pragma: no cover - needs >2 ids/unit on average
             return self._fetch_full(packed, strides, nonempty, rows, sizes, n_mats)
-        compact = np.asarray(out_dev[0])[:total]
-        counts = np.asarray(out_dev[1]).astype(np.int64)
+        rows_total = sum(rows)
+        compact = fused[1 + rows_total : 1 + rows_total + total]
+        counts = fused[1 : 1 + rows_total].astype(np.int64)
         tid = (compact >> 7) - 2
         lane = compact & 127
         row_of_id = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)

@@ -310,10 +310,13 @@ def word_match_commit_compact(
     on device so the d2h transfer is ~#ids instead of #lanes (the axon
     tunnel is latency- and bandwidth-poor: ~27ms + ~60MB/s).
 
-    Returns (compact int32[cap], counts uint8[rows_total], total int32):
-    compact[k] = (token_id + 2) * 128 + lane, in row-major (row, lane)
-    order; counts[r] = emitted ids in packed row r.  If total > cap the
-    caller must fall back to the full-emit program.
+    Returns ONE int32[1 + rows_total + cap] vector (a single D2H transfer
+    — the tunnel's latency makes per-array fetches additive):
+      out[0] = total emitted ids;
+      out[1 : 1+rows_total] = per-packed-row id counts;
+      out[1+rows_total :] = compacted ids, (token_id + 2) * 128 + lane,
+      in row-major (row, lane) order.
+    If total > cap the caller must fall back to the full-emit program.
     """
     emit = word_match_commit_multi(
         cps,
@@ -338,4 +341,5 @@ def word_match_commit_compact(
     flat_mask = mask.reshape(n)
     pos = jnp.where(flat_mask, jax.lax.broadcasted_iota(jnp.int32, (n,), 0), jnp.int32(2**30))
     _, vals = jax.lax.sort_key_val(pos, packed.reshape(n))
-    return vals[:cap], counts.astype(jnp.uint8), counts.sum(dtype=jnp.int32)
+    total = counts.sum(dtype=jnp.int32)
+    return jnp.concatenate([total[None], counts, vals[:cap]])
