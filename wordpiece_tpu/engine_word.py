@@ -351,6 +351,10 @@ class WordEncoder:
     # fetches/stitches/expands chunk k; device programs and D2H copies of
     # in-window chunks proceed asynchronously throughout.
     PIPELINE_CHUNK = 2_000_000
+    # Small first chunk: the opening device batch (the corpus's unique-set
+    # bulk) dispatches earlier and carries less H2D, so its fetch returns
+    # while the worker is still segmenting the body.
+    PIPELINE_FIRST = 1_000_000
     PIPELINE_WINDOW = 4  # max chunks in flight (bounds host memory)
 
     def _stage(self, name, nbytes=0):
@@ -374,7 +378,8 @@ class WordEncoder:
             begin = 0
             n = len(data)
             while begin < n:
-                end = min(n, begin + self.PIPELINE_CHUNK)
+                step = self.PIPELINE_FIRST if begin == 0 else self.PIPELINE_CHUNK
+                end = min(n, begin + step)
                 while end < n and data[end] != 0x20:
                     end += 1
                 chunks.append(data[begin:end])
