@@ -83,7 +83,7 @@ def main() -> int:
 
     value = size_bytes / t_e2e
     result = {
-        "metric": f"{args.engine}_encode_bytes_per_s_10MB_en_1chip",
+        "metric": f"{args.engine}_encode_bytes_per_s_{int(args.size)}MB_en_1chip",
         "value": round(value, 1),
         "unit": "bytes/s",
         "vs_baseline": round(value / REFERENCE_FAST_BYTES_PER_S, 3),
