@@ -82,3 +82,45 @@ def test_sharded_word_encoder_matches_oracle():
     got = enc.encode_bytes(text.encode()).tolist()
     want = encode_oracle_str(text, vocab)
     assert got == want
+
+
+def test_sharded_word_encoder_2d_matches_oracle():
+    """Word engine on a (data=4, vocab=2) mesh: table rows partitioned
+    across the vocab axis, partial matches pmax-combined."""
+    from jax.sharding import Mesh
+    from wordpiece_tpu.parallel.word_sharding import ShardedWordEncoder
+    from wordpiece_tpu.runtime import loader
+    from wordpiece_tpu.core.oracle import encode_oracle_str
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    rng = np.random.default_rng(11)
+    words = ["".join(rng.choice(list("abcdefgh"), size=int(rng.integers(1, 12)))) for _ in range(90)]
+    text = " ".join(rng.choice(words) for _ in range(700)) + " 中文 mix-ed punct,"
+    vocab_lines = sorted(
+        {w[:3] for w in words} | {"##" + w[3:] for w in words if len(w) > 3}
+        | {"##" + c for c in "abcdefgh"} | set("abcdefgh")
+        | {"中", "文", "mix", "##ed", "-", ","}
+    )
+    vocab = parse_vocab(vocab_lines)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "vocab"))
+    enc = ShardedWordEncoder(vocab, mesh=mesh)
+    got = enc.encode_bytes(text.encode()).tolist()
+    want = encode_oracle_str(text, vocab)
+    assert got == want
+
+
+def test_shard_word_tables_partition_exact():
+    """Every active token appears in exactly one vocab partition slot."""
+    from wordpiece_tpu.core.length_tables import build_length_tables
+    from wordpiece_tpu.parallel.word_sharding import shard_word_tables
+
+    vocab = parse_vocab(["[UNK]", "a", "ab", "abc", "##a", "##ab", "b", "##b", "cd", "##cd", "x"])
+    tables = build_length_tables(vocab)
+    for n_vocab in (2, 3, 4):
+        k1p, k2p, tidp, offs = shard_word_tables(tables, n_vocab)
+        assert k1p.shape[0] % n_vocab == 0
+        ids = tidp[tidp >= 0]
+        ref_ids = tables.tid[tables.tid >= 0]
+        assert sorted(ids.tolist()) == sorted(ref_ids.tolist())
+        assert offs[-1] * n_vocab == k1p.shape[0]

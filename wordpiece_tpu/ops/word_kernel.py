@@ -47,26 +47,9 @@ def _suffix_min(v: jax.Array) -> jax.Array:
     return v
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id"),
-)
-def word_match_commit(
-    cp: jax.Array,  # int32[U, width + max_len], padded with 32 (space)
-    tab_k1: jax.Array,  # int32[R, 128]
-    tab_k2: jax.Array,  # int32[R, 128]
-    tab_id: jax.Array,  # int32[R, 128]
-    *,
-    width: int,
-    max_len: int,
-    rows_off: tuple[int, ...],
-    mult1: int,
-    mult2: int,
-    lane_salts: tuple,
-    unk_id: int,
-) -> jax.Array:
-    """Returns emit int32[U, width]: token id per emitting position, -2
-    where nothing is emitted."""
+def _features(cp: jax.Array, width: int, max_len: int):
+    """Row-local features shared by match and commit: (pos, space, punct,
+    wp word-prefix mask, probe window)."""
     U = cp.shape[0]
     W = width
     cp_w = cp[:, :W]
@@ -88,6 +71,30 @@ def word_match_commit(
     window = jnp.minimum(window, jnp.int32(W) - pos)
     window = jnp.where(punct, jnp.int32(1), window)
     window = jnp.maximum(window, jnp.int32(1))
+    return pos, space, punct, wp, window
+
+
+def word_match(
+    cp: jax.Array,  # int32[U, width + max_len], padded with 32 (space)
+    tab_k1: jax.Array,  # int32[R, 128]
+    tab_k2: jax.Array,  # int32[R, 128]
+    tab_id: jax.Array,  # int32[R, 128]
+    *,
+    width: int,
+    max_len: int,
+    rows_off: tuple[int, ...],
+    mult1: int,
+    mult2: int,
+    lane_salts: tuple,
+):
+    """Longest-match probe phase: (best_id, best_len) int32[U, width].
+    Probing only a subset of each length's candidate rows (a vocab-axis
+    partition) yields a PARTIAL result, combinable with pmax — a token
+    lives in exactly one (length, row, lane) slot."""
+    U = cp.shape[0]
+    W = width
+    pos, space, punct, wp, window = _features(cp, width, max_len)
+    del pos, space, punct
 
     # ---- longest-match probing -------------------------------------------
     m1 = jnp.uint32(mult1)
@@ -135,8 +142,24 @@ def word_match_commit(
             return best_id, best_len
 
         best_id, best_len = jax.lax.fori_loop(0, b_l, probe, (best_id, best_len))
+    return best_id, best_len
 
-    # ---- greedy walk + whole-word UNK rollback ---------------------------
+
+def word_commit(
+    cp: jax.Array,
+    best_id: jax.Array,
+    best_len: jax.Array,
+    *,
+    width: int,
+    max_len: int,
+    unk_id: int,
+) -> jax.Array:
+    """Greedy walk + whole-word UNK rollback over the match results."""
+    U = cp.shape[0]
+    W = width
+    pos, space, punct, wp, window = _features(cp, width, max_len)
+    del punct
+
     matched = best_len > 0
 
     # Next-position helpers with sentinel column W.
@@ -190,3 +213,40 @@ def word_match_commit(
     emit = emit & ~space[:, :1]
     emit_val = jnp.where(killed, jnp.int32(unk_id), best_id)
     return jnp.where(emit, emit_val, jnp.int32(-2))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id"),
+)
+def word_match_commit(
+    cp: jax.Array,  # int32[U, width + max_len], padded with 32 (space)
+    tab_k1: jax.Array,  # int32[R, 128]
+    tab_k2: jax.Array,  # int32[R, 128]
+    tab_id: jax.Array,  # int32[R, 128]
+    *,
+    width: int,
+    max_len: int,
+    rows_off: tuple[int, ...],
+    mult1: int,
+    mult2: int,
+    lane_salts: tuple,
+    unk_id: int,
+) -> jax.Array:
+    """Returns emit int32[U, width]: token id per emitting position, -2
+    where nothing is emitted."""
+    best_id, best_len = word_match(
+        cp,
+        tab_k1,
+        tab_k2,
+        tab_id,
+        width=width,
+        max_len=max_len,
+        rows_off=rows_off,
+        mult1=mult1,
+        mult2=mult2,
+        lane_salts=lane_salts,
+    )
+    return word_commit(
+        cp, best_id, best_len, width=width, max_len=max_len, unk_id=unk_id
+    )

@@ -91,12 +91,122 @@ def word_encode_data_parallel(
     return jnp.concatenate(emits, axis=0), totals[0]
 
 
+def shard_word_tables(tables, n_vocab: int):
+    """Partition the per-length candidate rows across the vocab axis.
+
+    Each length l's B_l rows pad to a multiple of n_vocab (empty slots:
+    id == -1, never hit) and split contiguously; the returned arrays
+    stack shard-major so shard_map's P("vocab") blocks are exactly one
+    partition.  rows_off_shard is uniform across shards (required: it is
+    a static arg of the traced program).
+    """
+    k1, k2, tid = tables.k1, tables.k2, tables.tid
+    offs = tables.rows_off
+    rows_off_shard = [0, 0]
+    blocks = [[] for _ in range(n_vocab)]
+    for l in range(1, tables.max_len + 1):
+        lo, hi = int(offs[l]), int(offs[l + 1])
+        b = hi - lo
+        bp = -(-b // n_vocab) if b else 0
+        rows_off_shard.append(rows_off_shard[-1] + bp)
+        if bp == 0:
+            continue
+        for v in range(n_vocab):
+            bk1 = np.zeros((bp, 128), np.int32)
+            bk2 = np.zeros((bp, 128), np.int32)
+            bid = np.full((bp, 128), -1, np.int32)
+            s = lo + v * bp
+            e = min(hi, s + bp)
+            if s < hi:
+                bk1[: e - s] = k1[s:e]
+                bk2[: e - s] = k2[s:e]
+                bid[: e - s] = tid[s:e]
+            blocks[v].append((bk1, bk2, bid))
+    if rows_off_shard[-1] == 0:
+        # No active tokens: 1 empty row per shard keeps shapes valid; all
+        # per-length counts stay 0 so the rows are never probed.
+        k1p = np.zeros((n_vocab, 128), np.int32)
+        k2p = np.zeros((n_vocab, 128), np.int32)
+        tidp = np.full((n_vocab, 128), -1, np.int32)
+    else:
+        k1p = np.concatenate([b[0] for blks in blocks for b in blks], axis=0)
+        k2p = np.concatenate([b[1] for blks in blocks for b in blks], axis=0)
+        tidp = np.concatenate([b[2] for blks in blocks for b in blks], axis=0)
+    return k1p, k2p, tidp, tuple(rows_off_shard)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "widths", "max_len", "rows_off", "mult1", "mult2", "lane_salts", "unk_id",
+    ),
+)
+def word_encode_2d_parallel(
+    mats: tuple,  # tuple of int32[U_b, W_b + max_len]; U_b divisible by n_data
+    tab_k1: jax.Array,  # int32[n_vocab * R_shard, 128]
+    tab_k2: jax.Array,
+    tab_id: jax.Array,
+    *,
+    mesh: Mesh,
+    widths: tuple,
+    max_len: int,
+    rows_off: tuple,  # per-SHARD rows_off (uniform)
+    mult1: int,
+    mult2: int,
+    lane_salts: tuple,
+    unk_id: int,
+):
+    """2D word engine: unit rows data-parallel, candidate rows of the
+    length tables vocab(expert)-parallel.  Each (data, vocab) tile probes
+    its table partition; partial (id, len) matches combine with pmax over
+    ``vocab`` (exact — a token lives in one partition); the walk/commit
+    runs replicated along vocab.  Returns per-bucket emit matrices."""
+    from ..ops.word_kernel import word_commit, word_match
+    from . import vocab_parallel
+
+    def per_tile(mat_tuple, k1s, k2s, tids):
+        outs = []
+        for mat_b, w in zip(mat_tuple, widths):
+            bid, blen = word_match(
+                mat_b,
+                k1s,
+                k2s,
+                tids,
+                width=w,
+                max_len=max_len,
+                rows_off=rows_off,
+                mult1=mult1,
+                mult2=mult2,
+                lane_salts=lane_salts,
+            )
+            bid, blen = vocab_parallel.combine_partial_matches(bid, blen, "vocab")
+            outs.append(
+                word_commit(mat_b, bid, blen, width=w, max_len=max_len, unk_id=unk_id)
+            )
+        return tuple(outs)
+
+    return jax.shard_map(
+        per_tile,
+        mesh=mesh,
+        in_specs=(
+            tuple(P("data", None) for _ in mats),
+            P("vocab", None),
+            P("vocab", None),
+            P("vocab", None),
+        ),
+        out_specs=tuple(P("data", None) for _ in mats),
+        check_vma=False,
+    )(mats, tab_k1, tab_k2, tab_id)
+
+
 class ShardedWordEncoder:
     """Multi-chip word engine (host-facing).
 
     Wraps WordEncoder's host pipeline, replacing the single-chip device
     call with the shard_map'd one; rows are padded to a multiple of
-    (block_rows * n_devices) so every device gets whole blocks.
+    (block_rows * n_devices) so every device gets whole blocks.  With a
+    2D ("data", "vocab") mesh the length tables are additionally
+    partitioned across the vocab axis (word_encode_2d_parallel).
     """
 
     def __init__(self, vocab, mesh: Mesh | None = None):
@@ -111,6 +221,9 @@ class ShardedWordEncoder:
         n_data = int(self.mesh.shape["data"])
 
         inner = self._inner
+        if "vocab" in mesh.axis_names:
+            self._init_2d(n_data, int(mesh.shape["vocab"]))
+            return
 
         def run_all(mats):
             from ..engine_word import BLOCK_ROWS, STRIDES, pack_groups, unpack_emit
@@ -150,6 +263,50 @@ class ShardedWordEncoder:
                 nrows = pk.shape[0]
                 emits[b] = unpack_emit(out_cat[row : row + nrows], STRIDES[b], mats[b].shape[0])
                 row += nrows
+            return emits
+
+        self._inner._run_all_buckets = run_all  # type: ignore[method-assign]
+
+    def _init_2d(self, n_data: int, n_vocab: int) -> None:
+        from ..engine_word import WIDTHS
+
+        inner = self._inner
+        tables = inner.tables
+        k1p, k2p, tidp, rows_off_shard = shard_word_tables(tables, n_vocab)
+        k1p, k2p, tidp = jnp.asarray(k1p), jnp.asarray(k2p), jnp.asarray(tidp)
+        max_len = inner._statics["max_len"]
+
+        def run_all(mats):
+            padded, widths, nonempty = [], [], []
+            for b, mat in enumerate(mats):
+                if mat.shape[0] == 0:
+                    continue
+                u = mat.shape[0]
+                rows = -(-u // n_data) * n_data
+                pk = np.full((rows, WIDTHS[b] + max_len), 32, dtype=np.int32)
+                pk[:u, : WIDTHS[b]] = mat
+                padded.append(jnp.asarray(pk))
+                widths.append(WIDTHS[b])
+                nonempty.append(b)
+            if not padded:
+                return [None] * len(mats)
+            outs = word_encode_2d_parallel(
+                tuple(padded),
+                k1p,
+                k2p,
+                tidp,
+                mesh=self.mesh,
+                widths=tuple(widths),
+                max_len=max_len,
+                rows_off=rows_off_shard,
+                mult1=inner._statics["mult1"],
+                mult2=inner._statics["mult2"],
+                lane_salts=inner._statics["lane_salts"],
+                unk_id=inner._statics["unk_id"],
+            )
+            emits = [None] * len(mats)
+            for b, out in zip(nonempty, outs):
+                emits[b] = np.asarray(out)[: mats[b].shape[0]]
             return emits
 
         self._inner._run_all_buckets = run_all  # type: ignore[method-assign]
