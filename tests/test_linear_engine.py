@@ -115,3 +115,46 @@ def test_linear_matches_fast_engine():
     fast = FastEncoder(vocab).encode_codepoints(cps).tolist()
     linear = LinearEncoder(vocab).encode_codepoints(cps).tolist()
     assert fast == linear
+
+
+def test_linear_encode_bytes_deduped_matches_codepoint_path():
+    """The deduped byte path (SA over unique units only) must equal the
+    full-text codepoint path and the fast engine, id for id."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.core import unicode as uni
+    from wordpiece_tpu.engine_linear import LinearEncoder
+    from wordpiece_tpu.core.vocab import parse_vocab as _pv
+    from wordpiece_tpu.runtime import loader
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    data = make_corpus(300_000)
+    vocab = _pv(make_vocab(data, vocab_size=3000))
+    enc = LinearEncoder(vocab)
+    got = enc.encode_bytes(data)
+    want = enc.encode_codepoints(np.asarray(uni.decode_utf8(data)))
+    assert np.array_equal(got, want)
+    oracle = loader.VocabHandle(vocab).encode(uni.decode_utf8(data))
+    assert np.array_equal(got, oracle)
+
+
+def test_linear_encode_bytes_multibatch_units():
+    """Unit batching boundaries (MAX_TEXT_BATCH) must not change output."""
+    from wordpiece_tpu.core import unicode as uni
+    from wordpiece_tpu.engine_linear import LinearEncoder
+    from wordpiece_tpu.core.vocab import parse_vocab as _pv
+    from wordpiece_tpu.runtime import loader
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    rng = np.random.default_rng(3)
+    words = ["".join(rng.choice(list("abcde"), size=int(rng.integers(1, 11)))) for _ in range(300)]
+    text = " ".join(rng.choice(words) for _ in range(2000)) + " 中文 mix-ed"
+    vocab = _pv(sorted({w[:2] for w in words} | {"##" + c for c in "abcde"} | set("abcde")
+                       | {"中", "文", "mix", "##ed", "-"}))
+    enc = LinearEncoder(vocab)
+    enc.MAX_TEXT_BATCH = 256  # force many unit batches
+    got = enc.encode_bytes(text.encode())
+    enc2 = LinearEncoder(vocab)
+    want = enc2.encode_codepoints(np.asarray(uni.decode_utf8(text.encode())))
+    assert np.array_equal(got, want)

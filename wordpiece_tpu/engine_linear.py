@@ -76,6 +76,66 @@ class LinearEncoder:
     def MAX_TEXT_BATCH(self, v: int) -> None:
         self._max_text_batch = v
 
+    def encode_bytes(self, data: bytes) -> np.ndarray:
+        """Deduped byte path: the unit-independence decomposition (see
+        engine_word.py for the proof sketch; it depends only on the
+        output semantics, which linear shares with fast byte-for-byte —
+        the reference asserts this, tests/tests.cpp:90-97) lets the
+        O(n log n) suffix-array pipeline run over the UNIQUE units only.
+        Zipf corpora shrink the sort input by 1-2 orders of magnitude;
+        the id stream is recovered with the native expand."""
+        from .runtime import loader
+
+        if not loader.available():  # pragma: no cover - native always in CI
+            from .core import unicode as uni
+
+            return self.encode_codepoints(np.asarray(uni.decode_utf8(data)))
+        if len(data) == 0:
+            return np.zeros(0, dtype=np.int32)
+        occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
+        nu = ustart.shape[0]
+        if nu == 0:
+            return np.zeros(0, dtype=np.int32)
+
+        # Join unique units with single spaces; batch so each joined
+        # batch fits MAX_TEXT_BATCH.  Unit u's codepoints occupy
+        # [cstart[u], cstart[u] + ucplen[u]) of its batch.
+        counts_u = np.zeros(nu, dtype=np.int64)
+        offsets = np.zeros(nu + 1, dtype=np.int64)
+        flats: list[np.ndarray] = []
+        u = 0
+        while u < nu:
+            # Greedy batch of units.
+            total = 0
+            v = u
+            while v < nu and (total + int(ucplen[v]) + 1 <= self.MAX_TEXT_BATCH or v == u):
+                total += int(ucplen[v]) + 1
+                v += 1
+            joined = b" ".join(
+                data[int(ustart[k]) : int(ustart[k]) + int(ulen[k])] for k in range(u, v)
+            )
+            from .core import unicode as uni
+
+            cps = np.asarray(uni.decode_utf8(joined), dtype=np.int32)
+            cstart = np.zeros(v - u + 1, dtype=np.int64)
+            np.cumsum(ucplen[u:v].astype(np.int64) + 1, out=cstart[1:])
+            ids, positions = self._encode_batch_pos(cps)
+            # Attribute each emitted id to its unit (positions ascend).
+            unit_of = np.searchsorted(cstart, positions, side="right") - 1
+            counts_u[u:v] = np.bincount(unit_of, minlength=v - u)
+            flats.append(ids)
+            u = v
+        np.cumsum(counts_u, out=offsets[1:])
+        tok_flat = np.concatenate(flats) if flats else np.zeros(0, np.int32)
+        out = loader.expand(occ, tok_flat, offsets)
+        return out if out is not None else np.zeros(0, np.int32)
+
+    def _encode_batch_pos(self, cps: np.ndarray):
+        """One SA batch returning (ids, positions) as numpy."""
+        ids, positions, count = self._encode_batch(cps, with_positions=True)
+        count = int(count)
+        return np.asarray(ids[:count]), np.asarray(positions[:count])
+
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         cps = np.asarray(cps, dtype=np.int32)
         n = int(cps.shape[0])
@@ -96,7 +156,7 @@ class LinearEncoder:
             return np.concatenate(outs) if outs else np.zeros(0, np.int32)
         return self._encode_batch(cps)
 
-    def _encode_batch(self, cps: np.ndarray) -> np.ndarray:
+    def _encode_batch(self, cps: np.ndarray, with_positions: bool = False):
         n = int(cps.shape[0])
 
         # S = text · 1 · vocab_tail  (src/linear.cpp:87-101), padded to a
@@ -153,6 +213,10 @@ class LinearEncoder:
             feats.wp,
             max_len=self.max_len,
         )
+        if with_positions:
+            return commit_ops.commit_with_positions(
+                best_id, best_len, feats, jnp.int32(n), unk_id=int(self.vocab.unk_token_id)
+            )
         ids, count = commit_ops.commit(
             best_id, best_len, feats, jnp.int32(n), unk_id=int(self.vocab.unk_token_id)
         )

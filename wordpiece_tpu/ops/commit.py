@@ -40,6 +40,24 @@ def commit(
     unk_id: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (ids int32[n] padded with -2 beyond count, count int32)."""
+    ids, _positions, count = commit_with_positions(
+        best_id, best_len, feats, n_valid, unk_id=unk_id
+    )
+    return ids, count
+
+
+def commit_with_positions(
+    best_id: jax.Array,  # int32[n], -1 where no match
+    best_len: jax.Array,  # int32[n], 0 where no match
+    feats,  # TextFeatures
+    n_valid: jax.Array,
+    *,
+    unk_id: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """commit() plus the emitting POSITION of each compacted id (used to
+    attribute ids back to deduped units; positions are non-decreasing by
+    construction of the compaction order).  Returns (ids, positions,
+    count)."""
     n = best_id.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     nn = jnp.int32(n)
@@ -98,9 +116,11 @@ def commit(
 
     out_idx = jnp.cumsum(emit.astype(jnp.int32)) - 1
     count = jnp.where(emit.any(), out_idx[-1] + 1, 0)
+    scatter_to = jnp.where(emit, out_idx, nn)
     ids = (
-        jnp.full((n,), -2, dtype=jnp.int32)
-        .at[jnp.where(emit, out_idx, nn)]
-        .set(emit_val, mode="drop")
+        jnp.full((n,), -2, dtype=jnp.int32).at[scatter_to].set(emit_val, mode="drop")
     )
-    return ids, count
+    positions = (
+        jnp.full((n,), -1, dtype=jnp.int32).at[scatter_to].set(pos, mode="drop")
+    )
+    return ids, positions, count
