@@ -176,3 +176,28 @@ def test_word_engine_hybrid_scalar_threshold_paths():
     a = dev.encode_bytes(data)
     b = host.encode_bytes(data)
     assert np.array_equal(a, b)
+
+
+def test_word_engine_random_bytes_fuzz():
+    """Arbitrary (often invalid-UTF-8) byte soup through the FULL session
+    pipeline must match the scalar oracle — exercises invalid-byte
+    dropping inside unit segmentation, the dedupe session, and stitching."""
+    rng = np.random.default_rng(29)
+    vocab = parse_vocab(
+        ["[UNK]", "a", "b", "ab", "##a", "##b", "-", ".", "中", "х", "##х"]
+        + [chr(c) for c in range(99, 122)]
+    )
+    enc = WordEncoder(vocab)
+    handle = loader.VocabHandle(vocab)
+    for trial in range(30):
+        n = int(rng.integers(1, 4000))
+        # Mix: pure random bytes, ASCII-heavy, and multi-byte-heavy.
+        if trial % 3 == 0:
+            data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+        elif trial % 3 == 1:
+            data = bytes(rng.integers(32, 127, size=n, dtype=np.uint8))
+        else:
+            data = ("х中a " * (n // 8)).encode() + bytes(rng.integers(128, 256, size=n % 8, dtype=np.uint8))
+        got = enc.encode_bytes(data).tolist()
+        want = handle.encode(uni.decode_utf8(data)).tolist()
+        assert got == want, f"trial={trial} len={n}"
