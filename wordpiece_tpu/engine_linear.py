@@ -170,7 +170,11 @@ class LinearEncoder:
         n_core = s_core.shape[0]
         if n_core > 1_000_000_000:
             raise ValueError("64-bit suffix arrays not supported")
-        n_s = max(128, 1 << (n_core - 1).bit_length())
+        # Shape buckets {2^k, 3·2^(k-1)}: sort cost scales ~n log n, so the
+        # extra half-step bucket saves up to 25% device work vs pure pow2
+        # at the price of one more compiled variant (cache persists).
+        p2 = max(128, 1 << (n_core - 1).bit_length())
+        n_s = 3 * (p2 // 4) if n_core <= 3 * (p2 // 4) else p2
         pad_base = int(max(int(s_core.max()), 0x110000)) + 1
         s_host = np.concatenate(
             [s_core, pad_base + np.arange(n_s - n_core, dtype=np.int32)]

@@ -38,12 +38,20 @@ def suffix_array(s: jax.Array):
     n = s.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
 
-    order0 = jnp.argsort(s, stable=True).astype(jnp.int32)
-    sorted_vals = s[order0]
+    # Initial ranks over the first TWO symbols (one 2-key sort replaces
+    # the single-symbol sort plus the shift=1 doubling round).
+    s2 = jnp.concatenate([s[1:], jnp.full((1,), -1, s.dtype)])
+    _, _, order0 = jax.lax.sort((s, s2, idx), num_keys=2, is_stable=True)
+    v1 = s[order0]
+    v2 = s2[order0]
     new_group = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), (sorted_vals[1:] != sorted_vals[:-1]).astype(jnp.int32)]
+        [
+            jnp.zeros(1, jnp.int32),
+            ((v1[1:] != v1[:-1]) | (v2[1:] != v2[:-1])).astype(jnp.int32),
+        ]
     )
-    rank = jnp.zeros(n, jnp.int32).at[order0].set(jnp.cumsum(new_group).astype(jnp.int32))
+    ranks0 = jnp.cumsum(new_group).astype(jnp.int32)
+    rank = jnp.zeros(n, jnp.int32).at[order0].set(ranks0)
 
     def cond(carry):
         rank, shift, done = carry
@@ -66,9 +74,8 @@ def suffix_array(s: jax.Array):
         done = ranks_sorted[-1] == jnp.int32(n - 1)  # all distinct
         return new_rank, shift * 2, done
 
-    rank, _, _ = jax.lax.while_loop(
-        cond, body, (rank, jnp.int32(1), jnp.bool_(n <= 1))
-    )
+    done0 = jnp.bool_(n <= 1) | (ranks0[-1] == jnp.int32(n - 1))
+    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(2), done0))
     sa = jnp.zeros(n, jnp.int32).at[rank].set(idx)
     return sa, rank
 
