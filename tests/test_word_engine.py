@@ -201,3 +201,23 @@ def test_word_engine_random_bytes_fuzz():
         got = enc.encode_bytes(data).tolist()
         want = handle.encode(uni.decode_utf8(data)).tolist()
         assert got == want, f"trial={trial} len={n}"
+
+
+def test_word_engine_persistent_cache():
+    """cache=True: repeated and novel content across calls stays exact."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(400_000)
+    vocab = parse_vocab(make_vocab(data, vocab_size=3000))
+    handle = loader.VocabHandle(vocab)
+    enc = WordEncoder(vocab, cache=True)
+    half = len(data) // 2
+    while data[half] != 0x20:
+        half += 1
+    for chunk in (data[:half], data[:half], data[half:], data, b"zzznovel word"):
+        got = enc.encode_bytes(chunk)
+        want = handle.encode(uni.decode_utf8(chunk))
+        assert np.array_equal(got, want)
+    enc.reset_cache()
+    got = enc.encode_bytes(data)
+    assert np.array_equal(got, handle.encode(uni.decode_utf8(data)))

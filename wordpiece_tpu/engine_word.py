@@ -115,8 +115,16 @@ class WordEncoder:
         tables: LengthTables | None = None,
         *,
         verify: bool = True,
+        cache: bool = False,
     ):
-        """verify=True (default) cross-checks every emitted token's string
+        """cache=True keeps the dedupe session and per-unit token lists
+        ALIVE ACROSS encode calls (a vocabulary-lifetime unit cache):
+        repeated vocabulary — log streams, epochs over a corpus — skips
+        segmentation's device work entirely on later calls.  Memory grows
+        with the number of distinct units ever seen (~bytes of unique
+        text); call reset_cache() to drop it.
+
+        verify=True (default) cross-checks every emitted token's string
         against the vocabulary on host (cheap: only unique units) and
         re-encodes any mismatching unit with the native scalar oracle.
         This catches any hash collision that surfaces as an emitted
@@ -132,6 +140,8 @@ class WordEncoder:
         self._tab_k2 = jnp.asarray(self.tables.k2)
         self._tab_id = jnp.asarray(self.tables.tid)
         self._scalar = loader.VocabHandle(vocab)
+        self.cache = cache
+        self._cache_state = None  # (DedupeSession, _TokenStore) when cache
         self._executor = None  # lazy 1-thread pool for pipelined prepares
         self.stats = None  # optional utils.profiling.StageStats
         self._statics = dict(
@@ -357,6 +367,12 @@ class WordEncoder:
     PIPELINE_FIRST = 1_000_000
     PIPELINE_WINDOW = 4  # max chunks in flight (bounds host memory)
 
+    def reset_cache(self) -> None:
+        """Drop the persistent unit cache (cache=True encoders)."""
+        if self._cache_state is not None:
+            self._cache_state[0].close()
+            self._cache_state = None
+
     def _stage(self, name, nbytes=0):
         import contextlib
 
@@ -366,12 +382,22 @@ class WordEncoder:
     def encode_bytes(self, data: bytes) -> np.ndarray:
         if len(data) == 0:
             return np.zeros(0, dtype=np.int32)
-        session = loader.DedupeSession()
-        store = _TokenStore()
+        if self.cache:
+            # Persistent vocabulary session: the unit table and token
+            # lists survive across calls, so repeated vocabulary (log
+            # streams, epochs over a corpus) skips the device entirely.
+            if self._cache_state is None:
+                self._cache_state = (loader.DedupeSession(), _TokenStore())
+            session, store = self._cache_state
+            first = store.nu == 0
+        else:
+            session = loader.DedupeSession()
+            store = _TokenStore()
+            first = True
         try:
             if len(data) <= self.PIPELINE_CHUNK:
                 return self._finish_chunk(
-                    data, self._prepare_chunk(data, session), store
+                    data, self._prepare_chunk(data, session, first), store
                 )
             # Split at ASCII-space boundaries (units never span spaces).
             chunks = []
@@ -398,7 +424,7 @@ class WordEncoder:
                         (
                             chunk,
                             self._executor.submit(
-                                self._prepare_chunk, chunk, session, ci == 0
+                                self._prepare_chunk, chunk, session, first and ci == 0
                             ),
                         )
                     )
@@ -418,7 +444,8 @@ class WordEncoder:
             outs = [o for o in outs if o.size]
             return np.concatenate(outs) if outs else np.zeros(0, np.int32)
         finally:
-            session.close()
+            if not self.cache:
+                session.close()
 
     # Small first-seen batches encode on the native host oracle instead of
     # paying a device round trip (the tunnel's ~20ms buys >>10k scalar
