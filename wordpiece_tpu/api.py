@@ -153,7 +153,9 @@ class _EngineNamespace:
         return out
 
 
-def make_encoder(vocab: Vocabulary, engine: str = "fast"):
+def make_encoder(vocab: Vocabulary, engine: str = "fast", *, cache: bool = False):
+    """cache=True (fast engine only) keeps a vocabulary-lifetime unit
+    cache across encode calls — see WordEncoder."""
     if engine == "fast":
         # Production fast path: deduped-unit word engine (needs the
         # native host runtime); falls back to the streaming device path.
@@ -162,7 +164,7 @@ def make_encoder(vocab: Vocabulary, engine: str = "fast"):
         if loader.available():
             from .engine_word import WordEncoder
 
-            return WordEncoder(vocab)
+            return WordEncoder(vocab, cache=cache)
         return FastEncoder(vocab)
     if engine == "fast-stream":
         return FastEncoder(vocab)
