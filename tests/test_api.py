@@ -111,3 +111,58 @@ def test_engines_agree_on_multilingual():
     want = encode_oracle_str(text, v)
     assert fast_ids == want
     assert linear_ids == want
+
+
+def test_encode_external_checkpoint_resume(tmp_path):
+    """Kill mid-run -> resume from the last completed batch, identical
+    output to an uninterrupted run (incl. truncating a partial batch)."""
+    import json
+
+    from wordpiece_tpu import api
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(400_000)
+    tf = tmp_path / "c.txt"
+    vf = tmp_path / "v.txt"
+    tf.write_bytes(data)
+    vf.write_text("\n".join(make_vocab(data, vocab_size=2000)))
+    ref_out = tmp_path / "ref.txt"
+    api.fast.encode_external(str(tf), str(vf), str(ref_out), 50_000_000)
+    assert not (tmp_path / "ref.txt.state").exists()  # removed on success
+
+    # Batches of ~100KB (memory_limit/2): simulate a crash after batch 2
+    # by writing its state, appending GARBAGE (a partial batch 3), then
+    # resuming.
+    out = tmp_path / "out.txt"
+    api.fast.encode_external(str(tf), str(vf), str(out), 200_000)
+    full = out.read_text()
+    # Re-run to capture the state after two batches: run once more but
+    # stop early by replaying the loop manually -- simplest faithful way:
+    # take the final run, cut the output at an arbitrary point, and write
+    # a matching state checkpoint for a 2-batch prefix.
+    api.fast.encode_external(str(tf), str(vf), str(out), 200_000)
+    # Find batch boundaries the same way the encoder does.
+    max_batch = 200_000 // 2
+    begin = 0
+    for _ in range(2):
+        batch = max_batch
+        while batch < len(data) - begin and not data[begin + batch - 1 : begin + batch].isspace():
+            batch += 1
+        begin += batch
+    prefix_ids = api.fast.encode(data[:begin], "\n".join(make_vocab(data, vocab_size=2000)).splitlines())
+    prefix_text = "".join(f"{i} " for i in list(prefix_ids))
+    out.write_text(prefix_text + "999999 12345 ")  # partial batch garbage
+    (tmp_path / "out.txt.state").write_text(
+        json.dumps(
+            {
+                "text_size": len(data),
+                "memory_limit": 200_000,
+                "engine": "fast",
+                "offset": begin,
+                "out_bytes": len(prefix_text),
+            }
+        )
+    )
+    api.fast.encode_external(str(tf), str(vf), str(out), 200_000, resume=True)
+    assert out.read_text() == full == ref_out.read_text()
+    assert not (tmp_path / "out.txt.state").exists()

@@ -91,24 +91,65 @@ class _EngineNamespace:
         vocab_file: str | Vocabulary,
         out_file: str,
         memory_limit: int,
+        *,
+        resume: bool = False,
     ) -> None:
         """Out-of-core batch loop (src/fast.cpp:189-220, linear /20 variant).
 
         Batches are extended so that each ends on a space character,
         guaranteeing no token crosses a batch boundary
-        (starts_with_space check, src/fast.cpp:205-207).
+        (starts_with_space check, src/fast.cpp:205-207).  The corpus is
+        mmap'd (like the reference's boost mapped_file) so peak memory is
+        one batch, not the file.
+
+        Beyond the reference: batch-granular CHECKPOINT/RESUME.  After
+        every completed batch a sidecar ``out_file + ".state"`` records
+        (input offset, output bytes); ``resume=True`` truncates a
+        partially-written batch and continues from the last checkpoint.
+        The state file is removed on successful completion.
         """
+        import json
+        import mmap
+        import os
+
         v = _as_vocab(vocab_file)
         enc = self._encoder(v)
         # Reference budgets: /2 for fast (src/fast.cpp:195), /20 for
         # linear "because of SAIS" (src/linear.cpp:349).
         divisor = 20 if self._engine_name == "linear" else 2
         max_batch = max(memory_limit // divisor, 1)
-        with open(text_file, "rb") as f:
-            data = f.read()
-        size = len(data)
+        size = os.path.getsize(text_file)
+        state_path = out_file + ".state"
+
         begin = 0
-        with open(out_file, "w") as fout:
+        out_mode = "w"
+        if resume and os.path.exists(state_path) and os.path.exists(out_file):
+            try:
+                with open(state_path) as f:
+                    st = json.load(f)
+            except (OSError, ValueError):
+                st = None
+            if (
+                st
+                and st.get("text_size") == size
+                and st.get("memory_limit") == memory_limit
+                and st.get("engine") == self._engine_name
+            ):
+                begin = int(st["offset"])
+                with open(out_file, "r+") as fout:
+                    fout.truncate(int(st["out_bytes"]))
+                out_mode = "a"
+
+        if size == 0:
+            open(out_file, out_mode).close()
+            if os.path.exists(state_path):
+                os.remove(state_path)
+            return
+
+        with open(text_file, "rb") as f, mmap.mmap(
+            f.fileno(), 0, access=mmap.ACCESS_READ
+        ) as data, open(out_file, out_mode) as fout:
+            out_bytes = fout.tell() if out_mode == "a" else 0
             while begin < size:
                 remaining = size - begin
                 if remaining > max_batch:
@@ -124,9 +165,23 @@ class _EngineNamespace:
                     ids = enc.encode_bytes(piece)
                 else:
                     ids = enc.encode_codepoints(uni.decode_utf8(piece).astype(np.int32))
-                for i in ids.tolist():
-                    fout.write(f"{i} ")
+                text = "".join(f"{i} " for i in ids.tolist())
+                fout.write(text)
+                fout.flush()
+                out_bytes += len(text)
                 begin += batch
+                with open(state_path, "w") as sf:
+                    json.dump(
+                        {
+                            "text_size": size,
+                            "memory_limit": memory_limit,
+                            "engine": self._engine_name,
+                            "offset": begin,
+                            "out_bytes": out_bytes,
+                        },
+                        sf,
+                    )
+        os.remove(state_path)
 
     def decode(self, vocab_file: str | Vocabulary, ids: Sequence[int]) -> list[str]:
         """ids -> token strings (src/fast.cpp:165-187).

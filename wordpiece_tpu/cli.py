@@ -32,6 +32,11 @@ def main(argv=None) -> int:
         help="external modes: batch memory budget (floor 50MB, reference runner.cpp:28-33)",
     )
     ap.add_argument("--ids", default=None, help="decode mode: comma-separated ids")
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="external modes: continue from the last completed batch (out_file.state)",
+    )
     ap.add_argument("--time", action="store_true", help="print wall time to stderr")
     args = ap.parse_args(argv)
 
@@ -56,6 +61,7 @@ def main(argv=None) -> int:
             args.vocab_file,
             args.out_file,
             args.memory_limit_mb * 1_000_000,
+            resume=args.resume,
         )
         if args.time:
             print(f"time {time.time()-t0:.3f}s", file=sys.stderr)
