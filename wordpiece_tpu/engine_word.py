@@ -360,7 +360,7 @@ class WordEncoder:
     # on a worker thread (ctypes releases the GIL) while the main thread
     # fetches/stitches/expands chunk k; device programs and D2H copies of
     # in-window chunks proceed asynchronously throughout.
-    PIPELINE_CHUNK = 2_000_000
+    PIPELINE_CHUNK = 3_000_000
     # Small first chunk: the opening device batch (the corpus's unique-set
     # bulk) dispatches earlier and carries less H2D, so its fetch returns
     # while the worker is still segmenting the body.
