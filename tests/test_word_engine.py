@@ -221,3 +221,16 @@ def test_word_engine_persistent_cache():
     enc.reset_cache()
     got = enc.encode_bytes(data)
     assert np.array_equal(got, handle.encode(uni.decode_utf8(data)))
+
+
+def test_word_engine_edge_inputs():
+    """unk_id=-1 (no [UNK] in vocab), empty/whitespace-only input, and a
+    ~1MB single unit (overflow scalar path) through the session pipeline."""
+    vocab = parse_vocab(["a", "b", "ab"])
+    assert vocab.unk_token_id == -1  # reference default, src/utils.hpp:30,33
+    enc = WordEncoder(vocab)
+    h = loader.VocabHandle(vocab)
+    for text in (b"ab zz a", b"", b"   ", b"\n\t  ", b"zzz", b"ab" * 500000 + b" q"):
+        got = enc.encode_bytes(text).tolist()
+        want = h.encode(uni.decode_utf8(text)).tolist()
+        assert got == want, text[:20]
