@@ -152,17 +152,55 @@ def test_encode_external_checkpoint_resume(tmp_path):
     prefix_ids = api.fast.encode(data[:begin], "\n".join(make_vocab(data, vocab_size=2000)).splitlines())
     prefix_text = "".join(f"{i} " for i in list(prefix_ids))
     out.write_text(prefix_text + "999999 12345 ")  # partial batch garbage
-    (tmp_path / "out.txt.state").write_text(
-        json.dumps(
-            {
-                "text_size": len(data),
-                "memory_limit": 200_000,
-                "engine": "fast",
-                "offset": begin,
-                "out_bytes": len(prefix_text),
-            }
-        )
-    )
+    vocab = parse_vocab(make_vocab(data, vocab_size=2000))
+    state = {
+        "text_size": len(data),
+        "memory_limit": 200_000,
+        "engine": "fast",
+        "offset": begin,
+        "out_bytes": len(prefix_text),
+        "vocab_fp": api._vocab_fingerprint(vocab),
+        "text_fp": api._file_fingerprint(str(tf)),
+    }
+    (tmp_path / "out.txt.state").write_text(json.dumps(state))
     api.fast.encode_external(str(tf), str(vf), str(out), 200_000, resume=True)
     assert out.read_text() == full == ref_out.read_text()
     assert not (tmp_path / "out.txt.state").exists()
+
+    # A resume with a DIFFERENT vocabulary must refuse the checkpoint and
+    # restart from scratch (never append ids inconsistent with the prefix).
+    out.write_text(prefix_text + "999999 ")
+    state["vocab_fp"] = state["vocab_fp"] ^ 1
+    (tmp_path / "out.txt.state").write_text(json.dumps(state))
+    api.fast.encode_external(str(tf), str(vf), str(out), 200_000, resume=True)
+    assert out.read_text() == full  # fresh run, garbage gone
+
+
+def test_encoder_cache_is_bounded():
+    from wordpiece_tpu import api
+
+    api._ENCODER_CACHE.clear()
+    for k in range(api._ENCODER_CACHE_MAX + 3):
+        wp.fast.encode("a b", ["[UNK]", "a", "b", f"tok{k}"])
+    assert len(api._ENCODER_CACHE) <= api._ENCODER_CACHE_MAX
+
+
+def test_make_encoder_cache_requires_fast():
+    from wordpiece_tpu import api
+
+    v = parse_vocab(["[UNK]", "a"])
+    with pytest.raises(ValueError):
+        api.make_encoder(v, engine="linear", cache=True)
+
+
+def test_n_threads_plumbing(monkeypatch):
+    from wordpiece_tpu.runtime import loader
+
+    monkeypatch.setenv("WORDPIECE_TPU_THREADS", "7")
+    assert loader.n_threads() == 7
+    loader.set_n_threads(3)
+    assert loader.n_threads() == 3
+    loader.set_n_threads(None)
+    assert loader.n_threads() == 7
+    monkeypatch.delenv("WORDPIECE_TPU_THREADS")
+    assert loader.n_threads() >= 1

@@ -234,3 +234,51 @@ def test_word_engine_edge_inputs():
         got = enc.encode_bytes(text).tolist()
         want = h.encode(uni.decode_utf8(text)).tolist()
         assert got == want, text[:20]
+
+
+def test_verify_emit_numpy_fallback(monkeypatch):
+    """The numpy verify path (native verify_emit unavailable) must return
+    the emit matrix unchanged on clean inputs — including the all-UNK /
+    no-emissions corner (regression: an early `return` dropped a bucket)
+    — and repair corrupted rows via the scalar oracle."""
+    vocab = parse_vocab(["[UNK]", "ab", "##c", "x"])
+    enc = WordEncoder(vocab)
+    monkeypatch.setattr(loader, "verify_emit", lambda *a, **k: None)
+
+    # Clean emissions pass through.
+    mat = np.full((2, 7), 32, dtype=np.int32)
+    mat[0, :3] = [ord("a"), ord("b"), ord("c")]
+    mat[1, 0] = ord("x")
+    emit = np.full((2, 7), -2, dtype=np.int32)
+    emit[0, :2] = [1, 2]
+    emit[1, 0] = 3
+    out = enc._verify_emit(mat, emit)
+    assert out is not None and (out == emit).all()
+
+    # No emissions at all (every cell -2): still returns the matrix.
+    empty = np.full((2, 7), -2, dtype=np.int32)
+    out = enc._verify_emit(mat, empty)
+    assert out is not None and (out == empty).all()
+
+    # A corrupted token id (string mismatch) is repaired by the oracle.
+    bad = emit.copy()
+    bad[1, 0] = 1  # claims "ab" but the unit is "x"
+    out = enc._verify_emit(mat, bad)
+    assert out[1, 0] == 3 and (out[0] == emit[0]).all()
+
+    # Out-of-range id likewise.
+    oob = emit.copy()
+    oob[0, 0] = 99
+    out = enc._verify_emit(mat, oob)
+    assert out[0, 0] == 1 and out[0, 1] == 2
+
+
+def test_full_encode_with_numpy_verify(monkeypatch):
+    """End-to-end encode with the native verifier disabled exercises the
+    numpy verify branch across pipeline chunks."""
+    monkeypatch.setattr(loader, "verify_emit", lambda *a, **k: None)
+    run_both(
+        "the quick brown fox zz9 jumps over the lazy dog " * 20,
+        ["[UNK]", "the", "quick", "brown", "fox", "jump", "##s", "over",
+         "lazy", "dog", "z", "##z", "##9"],
+    )

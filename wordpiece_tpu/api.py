@@ -26,7 +26,14 @@ from .core.oracle import encode_oracle
 from .core.vocab import Vocabulary, parse_vocab, read_vocab_file
 from .engine import FastEncoder
 
-_ENCODER_CACHE: dict[int, object] = {}
+# Bounded LRU of module-namespace encoders.  Entries hold the encoder
+# (which holds the vocab — so id(vocab) keys stay valid while cached);
+# evicting the LRU entry releases packed tables and native handles, so
+# long sessions over many vocabularies don't accumulate them.
+from collections import OrderedDict
+
+_ENCODER_CACHE: OrderedDict[tuple, object] = OrderedDict()
+_ENCODER_CACHE_MAX = 8
 
 
 def _as_vocab(vocab: Sequence[str] | Vocabulary | str) -> Vocabulary:
@@ -45,6 +52,28 @@ def _text_codepoints(text: str | bytes) -> np.ndarray:
 def _read_text(text_file: str) -> bytes:
     with open(text_file, "rb") as f:
         return f.read()
+
+
+def _vocab_fingerprint(v: Vocabulary) -> int:
+    """Cheap content fingerprint of a vocabulary (resume guard)."""
+    import zlib
+
+    fp = zlib.crc32(np.ascontiguousarray(v.flat, np.uint32).tobytes())
+    return zlib.crc32(np.ascontiguousarray(v.offsets, np.int64).tobytes(), fp)
+
+
+def _file_fingerprint(path: str) -> int:
+    """Cheap corpus fingerprint: crc32 of the first and last 64KB."""
+    import zlib
+
+    fp = 0
+    with open(path, "rb") as tf:
+        fp = zlib.crc32(tf.read(1 << 16), fp)
+        sz = os.path.getsize(path)
+        if sz > (1 << 16):
+            tf.seek(max(0, sz - (1 << 16)))
+            fp = zlib.crc32(tf.read(1 << 16), fp)
+    return fp
 
 
 def write_ids_file(path: str, ids: Iterable[int]) -> None:
@@ -66,6 +95,10 @@ class _EngineNamespace:
         if enc is None:
             enc = make_encoder(vocab, engine=self._engine_name)
             _ENCODER_CACHE[key] = enc
+            while len(_ENCODER_CACHE) > _ENCODER_CACHE_MAX:
+                _ENCODER_CACHE.popitem(last=False)
+        else:
+            _ENCODER_CACHE.move_to_end(key)
         return enc
 
     def encode(self, text: str | bytes, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
@@ -114,6 +147,12 @@ class _EngineNamespace:
 
         v = _as_vocab(vocab_file)
         enc = self._encoder(v)
+
+        # Cheap content fingerprints guarding resume: a changed vocab (or
+        # an edited same-size corpus) must refuse to append ids after a
+        # prefix produced under different inputs.
+        vocab_fp = _vocab_fingerprint(v)
+        text_fp = _file_fingerprint(text_file)
         # Reference budgets: /2 for fast (src/fast.cpp:195), /20 for
         # linear "because of SAIS" (src/linear.cpp:349).
         divisor = 20 if self._engine_name == "linear" else 2
@@ -134,6 +173,8 @@ class _EngineNamespace:
                 and st.get("text_size") == size
                 and st.get("memory_limit") == memory_limit
                 and st.get("engine") == self._engine_name
+                and st.get("vocab_fp") == vocab_fp
+                and st.get("text_fp") == text_fp
             ):
                 begin = int(st["offset"])
                 with open(out_file, "r+") as fout:
@@ -178,6 +219,8 @@ class _EngineNamespace:
                             "engine": self._engine_name,
                             "offset": begin,
                             "out_bytes": out_bytes,
+                            "vocab_fp": vocab_fp,
+                            "text_fp": text_fp,
                         },
                         sf,
                     )
@@ -210,7 +253,10 @@ class _EngineNamespace:
 
 def make_encoder(vocab: Vocabulary, engine: str = "fast", *, cache: bool = False):
     """cache=True (fast engine only) keeps a vocabulary-lifetime unit
-    cache across encode calls — see WordEncoder."""
+    cache across encode calls — see WordEncoder.  Requesting a cache on
+    an engine that cannot honor it is an error, not a silent downgrade."""
+    if cache and engine != "fast":
+        raise ValueError(f"cache=True is only supported by engine='fast', not {engine!r}")
     if engine == "fast":
         # Production fast path: deduped-unit word engine (needs the
         # native host runtime); falls back to the streaming device path.
@@ -220,6 +266,11 @@ def make_encoder(vocab: Vocabulary, engine: str = "fast", *, cache: bool = False
             from .engine_word import WordEncoder
 
             return WordEncoder(vocab, cache=cache)
+        if cache:
+            raise RuntimeError(
+                "cache=True requires the native host runtime (WordEncoder); "
+                "it is unavailable and the FastEncoder fallback has no unit cache"
+            )
         return FastEncoder(vocab)
     if engine == "fast-stream":
         return FastEncoder(vocab)

@@ -38,10 +38,23 @@ def main(argv=None) -> int:
         help="external modes: continue from the last completed batch (out_file.state)",
     )
     ap.add_argument("--time", action="store_true", help="print wall time to stderr")
+    ap.add_argument(
+        "--n-threads",
+        type=int,
+        default=None,
+        help="host threads for the native segment fan-out (reference: runner "
+        "n_threads arg, tests/runner.cpp:23; default min(cpus,2), or the "
+        "WORDPIECE_TPU_THREADS env var)",
+    )
     args = ap.parse_args(argv)
 
     from . import api
     from .core.vocab import read_vocab_file
+
+    if args.n_threads is not None:
+        from .runtime import loader
+
+        loader.set_n_threads(args.n_threads)
 
     t0 = time.time()
     if args.mode == "decode":

@@ -320,7 +320,7 @@ class WordEncoder:
         unk = self._statics["unk_id"]
         rr, jj = np.nonzero(emit != -2)
         if rr.size == 0:
-            return
+            return emit
         tid = emit[rr, jj]
         chk = tid != unk
         rr_c, jj_c, tid_c = rr[chk], jj[chk], tid[chk]

@@ -10,14 +10,17 @@ from __future__ import annotations
 
 import ctypes
 import os
-import os
 import subprocess
 import threading
 
 import numpy as np
 
 _DIR = os.path.join(os.path.dirname(__file__), "native")
-_SO = os.path.join(_DIR, "libwordpiece_host.so")
+# WORDPIECE_TPU_NATIVE_SO overrides the library filename (sanitizer/scalar
+# builds: libwordpiece_host_san.so / libwordpiece_host_scalar.so).
+_SO = os.path.join(
+    _DIR, os.environ.get("WORDPIECE_TPU_NATIVE_SO", "libwordpiece_host.so")
+)
 _LOCK = threading.Lock()
 _LIB = None
 _TRIED = False
@@ -177,6 +180,35 @@ def available() -> bool:
     return _load() is not None
 
 
+_N_THREADS_OVERRIDE: int | None = None
+
+
+def set_n_threads(n: int | None) -> None:
+    """Programmatic host-thread override (CLI --n-threads lands here).
+    None restores the default policy."""
+    global _N_THREADS_OVERRIDE
+    _N_THREADS_OVERRIDE = None if n is None else max(1, int(n))
+
+
+def n_threads() -> int:
+    """Host threads for the native segment/dedupe fan-out.
+
+    Priority: set_n_threads() > WORDPIECE_TPU_THREADS env > min(cpus, 2).
+    The reference plumbs this through its runner's n_threads argument
+    (tests/runner.cpp:23) into the global thread pool; here the native
+    splitter currently uses at most 2 (one split point), so values above
+    2 are accepted but clamp inside the library."""
+    if _N_THREADS_OVERRIDE is not None:
+        return _N_THREADS_OVERRIDE
+    env = os.environ.get("WORDPIECE_TPU_THREADS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return min(os.cpu_count() or 1, 2)
+
+
 def decode_utf8(data: bytes) -> np.ndarray | None:
     """Native UTF-8 decode; None if the library is unavailable."""
     lib = _load()
@@ -234,16 +266,21 @@ def encode_scalar(text_cp: np.ndarray, vocab) -> np.ndarray | None:
     return out[:n].copy()
 
 
-_SCRATCH: dict = {}
+_SCRATCH_TLS = threading.local()
 
 
 def _scratch(name: str, cap: int, dtype) -> np.ndarray:
     """Reused per-call scratch (page faults on fresh np.empty buffers cost
-    more than the arrays' fills when called per pipeline chunk)."""
-    arr = _SCRATCH.get(name)
+    more than the arrays' fills when called per pipeline chunk).
+    Thread-local: concurrent segment_dedupe callers each get their own
+    buffers (the results handed back are copies)."""
+    scr = getattr(_SCRATCH_TLS, "scr", None)
+    if scr is None:
+        scr = _SCRATCH_TLS.scr = {}
+    arr = scr.get(name)
     if arr is None or arr.shape[0] < cap:
         arr = np.empty(int(cap * 1.25) + 16, dtype=dtype)
-        _SCRATCH[name] = arr
+        scr[name] = arr
     return arr
 
 
@@ -263,7 +300,7 @@ def segment_dedupe(data: bytes):
     ulen = _scratch("ulen", cap, np.int32)
     ucplen = _scratch("ucplen", cap, np.int32)
     n_uniq = ctypes.c_int64(0)
-    n_threads = min(os.cpu_count() or 1, 2)
+    nthr = n_threads()
     n_occ = lib.wp_segment_dedupe_mt(
         buf.ctypes.data_as(ctypes.c_void_p),
         size,
@@ -272,7 +309,7 @@ def segment_dedupe(data: bytes):
         ulen.ctypes.data_as(ctypes.c_void_p),
         ucplen.ctypes.data_as(ctypes.c_void_p),
         ctypes.byref(n_uniq),
-        np.int32(n_threads),
+        np.int32(nthr),
     )
     nu = n_uniq.value
     return (
@@ -332,7 +369,7 @@ class DedupeSession:
         ncplen = self._buf("ncplen", cap, np.int32)
         n_new = ctypes.c_int64(0)
         n_total = ctypes.c_int64(0)
-        n_threads = min(os.cpu_count() or 1, 2)
+        nthr = n_threads()
         n_occ = self._lib.wp_dedupe_session_segment(
             self._h,
             buf.ctypes.data_as(ctypes.c_void_p),
@@ -343,7 +380,7 @@ class DedupeSession:
             ncplen.ctypes.data_as(ctypes.c_void_p),
             ctypes.byref(n_new),
             ctypes.byref(n_total),
-            np.int32(n_threads),
+            np.int32(nthr),
         )
         self.n_total = n_total.value
         k = n_new.value

@@ -410,7 +410,9 @@ inline void build_class_masks(const uint8_t* data, int64_t size, ClassMasks* m) 
   m->space = m->buf.data() + nwords;
   m->nonascii = m->buf.data() + 2 * nwords;
   int64_t w = 0;
-#if defined(__AVX512BW__)
+// WP_FORCE_SCALAR (make scalar): disable the vector fast path so tests can
+// A/B the scalar class builder against the AVX-512 one byte-for-byte.
+#if defined(__AVX512BW__) && !defined(WP_FORCE_SCALAR)
   const __m512i v9 = _mm512_set1_epi8(9), v13 = _mm512_set1_epi8(13);
   const __m512i v32 = _mm512_set1_epi8(32);
   const __m512i v33 = _mm512_set1_epi8(33), v47 = _mm512_set1_epi8(47);
@@ -737,7 +739,11 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
   int32_t* ucp2 = ucp2_v.data();
   int64_t n_occ2 = 0, n_uniq2 = 0;
 
-  static HalfWorker worker;
+  // thread_local: each calling thread owns its worker's job/done state
+  // machine, so concurrent wp_segment_dedupe_mt calls from different
+  // Python threads (ctypes releases the GIL) can never interleave run()
+  // and wait() on shared state.
+  static thread_local HalfWorker worker;
   worker.run([&] {
     n_occ2 = wp_segment_dedupe(data + mid, size - mid, occ2, us2,
                                ul2, ucp2, &n_uniq2);
