@@ -2,18 +2,26 @@
 re-architected for TPU (SURVEY.md §7 step 5).
 
 Pipeline (mirrors src/linear.cpp:72-319 semantically):
-  1. S = text · 1 · tok_1 · 1 · … · tok_k · 1  (separator 1, layout at
-     src/linear.cpp:87-101);
-  2. suffix array of S by prefix doubling (XLA sorts, early exit);
-  3. LCP of SA-adjacent suffixes, clamped at max_len (direct compare —
-     exact for the sweeps, which never distinguish LCPs above max_len);
-  4. who[]: SA ranks of each vocab token's suffix (src/linear.cpp:153-160);
-  5. four surviving-slot scans (left/right x prefix/suffix kind) — the
+  1. S = text · sep · tok_1 · sep · … · tok_k · sep  (layout at
+     src/linear.cpp:87-101; here sep sorts below every codepoint, which
+     removes the reference's latent sep/codepoint-1 collision);
+  2. suffix ORDER of S clamped at max_len: one multi-key sort over the
+     first max_len symbols packed into int32 keys (ops/suffix_array.py
+     kgram_rank_lcp — replaces both libsais SA-IS and round-1's prefix
+     doubling; the sweeps in step 4 only ever observe LCP clamped at
+     max_len, so this order is provably sufficient);
+  3. LCP of adjacent suffixes, clamped at max_len, read off the sorted
+     keys (no gathers);
+  4. four surviving-slot scans (left/right x prefix/suffix kind) — the
      associative-scan reformulation of the monotone stack
      (src/linear.cpp:161-213), yielding ALL tokens matching each text
      suffix;
-  6. window-capped longest-match selection + the shared greedy commit
+  5. window-capped longest-match selection + the shared greedy commit
      (ops/commit.py), identical to the Fast engine's output.
+
+Steps 2-5 (plus the who-table scatter and text features) compile into ONE
+jit program per shape bucket: a batch costs a single host->device dispatch
+and a single device->host fetch — critical behind a remote-tunnel device.
 
 Note on parity: output ids equal the Fast engine (and the reference's
 differential guarantee, tests/tests.cpp:90-97) including the probe-window
@@ -22,15 +30,74 @@ cap — see ops/linear_match.py for the upstream edge case this fixes.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .core.vocab import Vocabulary
 from .ops import commit as commit_ops
 from .ops import text_features
 from .ops.linear_match import match_from_sa
-from .ops.suffix_array import lcp_clamped, suffix_array
+from .ops.suffix_array import kgram_plan, kgram_rank_lcp, lcp_clamped, suffix_array
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "per", "nk", "max_len", "unk_id"),
+)
+def _linear_batch_device(
+    s_dense: jax.Array,  # int32[n_s] dense symbols; pad = 2^bits - 1
+    cps_pad: jax.Array,  # int32[n_text_pad] raw codepoints, pad 32
+    n_text: jax.Array,  # int32 scalar: true text length
+    tok_starts: jax.Array,  # int32[V_e] token offsets within the vocab tail
+    tok_len: jax.Array,  # int32[V_e]
+    tok_id: jax.Array,  # int32[V_e]
+    tok_kind: jax.Array,  # int32[V_e]: 1 prefix, 0 suffix
+    *,
+    bits: int,
+    per: int,
+    nk: int,
+    max_len: int,
+    unk_id: int,
+):
+    """The whole linear batch as one device program: clamped suffix sort +
+    LCP + who-table scatter + 4 sweeps + match + greedy commit."""
+    n_s = s_dense.shape[0]
+    _sa, rank, lcp = kgram_rank_lcp(s_dense, bits=bits, per=per, nk=nk, clamp=max_len)
+
+    # who arrays indexed by SA rank (src/linear.cpp:153-160), built by
+    # device scatter — ranks are a permutation, so no collisions.
+    tok_rank = rank[jnp.minimum(n_text + 1 + tok_starts, jnp.int32(n_s - 1))]
+    who_len = jnp.zeros(n_s, jnp.int32).at[tok_rank].set(tok_len)
+    who_id = jnp.full(n_s, -1, jnp.int32).at[tok_rank].set(tok_id)
+    who_kind = jnp.full(n_s, -1, jnp.int32).at[tok_rank].set(tok_kind)
+
+    feats = text_features.compute_features(cps_pad, n_text, max_len)
+    best_id, best_len = match_from_sa(
+        rank,
+        lcp,
+        who_len,
+        who_id,
+        who_kind,
+        n_text,
+        feats.window,
+        feats.wp,
+        max_len=max_len,
+    )
+    return commit_ops.commit_with_positions(
+        best_id, best_len, feats, n_text, unk_id=unk_id
+    )
+
+
+def _bucket(n: int, floor: int = 128) -> int:
+    """Shape buckets {2^k, 3·2^(k-1)}: device cost scales with n, so the
+    extra half-step bucket saves up to 25% work vs pure pow2 at the price
+    of one more compiled variant (cache persists)."""
+    p2 = max(floor, 1 << (n - 1).bit_length())
+    return 3 * (p2 // 4) if n <= 3 * (p2 // 4) else p2
 
 
 class LinearEncoder:
@@ -48,7 +115,7 @@ class LinearEncoder:
         for i in range(vocab.size):
             starts[i] = pos
             parts.append(vocab.word(i).astype(np.int32))
-            parts.append(np.array([1], dtype=np.int32))
+            parts.append(np.array([-1], dtype=np.int32))  # separator (remapped)
             pos += lens[i] + 1
         self._vocab_tail = (
             np.concatenate(parts) if parts else np.zeros(0, np.int32)
@@ -58,13 +125,33 @@ class LinearEncoder:
         self._kind = np.where(
             self._eligible, vocab.is_prefix.astype(np.int32), -1
         )
+        # Device-resident eligible-token tables for the fused batch.
+        sel = np.asarray(self._eligible, dtype=bool)
+        self._d_tok_starts = jnp.asarray(starts[sel].astype(np.int32))
+        self._d_tok_len = jnp.asarray(lens[sel].astype(np.int32))
+        self._d_tok_id = jnp.asarray(np.arange(vocab.size, dtype=np.int32)[sel])
+        self._d_tok_kind = jnp.asarray(self._kind[sel].astype(np.int32))
+        # Sorted distinct symbols of the vocab tail (text symbols union in
+        # per batch); separator -1 sorts below every codepoint and is
+        # always present (even for an empty vocab: S ends with one sep).
+        self._vocab_alpha = np.union1d(
+            self._vocab_tail, np.array([-1], dtype=np.int32)
+        ).astype(np.int32)
 
     # Max |S| per internal SA batch.  The reference also batches its
     # linear algorithm (memory_limit/20 "because of SAIS",
     # src/linear.cpp:349); here the bound keeps the XLA sort size (and
     # its compile time/memory, which scale with n) in check.  Batches
     # split at spaces, so the id stream is exactly the concatenation.
-    MAX_S = 1 << 18
+    MAX_S = 1 << 20
+
+    # The surviving-slot sweeps materialize [n_s, max_len] state, so a
+    # vocabulary with very long tokens (the reference's 10M-char stress
+    # splits produce multi-thousand-char tokens, tests/tests.cpp:264-272)
+    # would blow device memory.  Such vocabs route to the native scalar
+    # encoder over deduped units — identical output semantics, host path
+    # (mirrors the Fast engine's overflow-unit fallback).
+    MAX_SLOT_LEN = 96
 
     @property
     def MAX_TEXT_BATCH(self) -> int:
@@ -96,6 +183,8 @@ class LinearEncoder:
         nu = ustart.shape[0]
         if nu == 0:
             return np.zeros(0, dtype=np.int32)
+        if self.max_len > self.MAX_SLOT_LEN:
+            return self._encode_units_scalar(data, occ, ustart, ulen, ucplen)
 
         # Join unique units with single spaces; batch so each joined
         # batch fits MAX_TEXT_BATCH.  Unit u's codepoints occupy
@@ -130,6 +219,21 @@ class LinearEncoder:
         out = loader.expand(occ, tok_flat, offsets)
         return out if out is not None else np.zeros(0, np.int32)
 
+    def _encode_units_scalar(self, data, occ, ustart, ulen, ucplen) -> np.ndarray:
+        """Long-token vocab fallback: native scalar encode of each unique
+        unit, expanded to the occurrence stream (see MAX_SLOT_LEN)."""
+        from .runtime import loader
+
+        if not hasattr(self, "_scalar"):
+            self._scalar = loader.VocabHandle(self.vocab)
+        flat, counts = self._scalar.encode_units(
+            data, ustart, ulen, int(ucplen.sum())
+        )
+        offsets = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts.astype(np.int64), out=offsets[1:])
+        out = loader.expand(occ, flat, offsets)
+        return out if out is not None else np.zeros(0, np.int32)
+
     def _encode_batch_pos(self, cps: np.ndarray):
         """One SA batch returning (ids, positions) as numpy."""
         ids, positions, count = self._encode_batch(cps, with_positions=True)
@@ -141,6 +245,24 @@ class LinearEncoder:
         n = int(cps.shape[0])
         if n == 0:
             return np.zeros(0, dtype=np.int32)
+        if self.max_len > self.MAX_SLOT_LEN:
+            from .runtime import loader
+
+            if loader.available():
+                from .core import unicode as uni
+
+                return self.encode_bytes(
+                    bytes(uni.encode_utf8(cps.astype(np.uint32)))
+                )
+            # Without the native runtime, small inputs still work through
+            # the device path (tests); big ones are better off failing
+            # loudly than silently allocating n_s * max_len slots.
+            if n * self.max_len > 1 << 26:
+                raise ValueError(
+                    "vocabulary max token length "
+                    f"{self.max_len} needs the native runtime for inputs "
+                    "this large (surviving-slot state would exceed memory)"
+                )
         if n > self.MAX_TEXT_BATCH:
             from .core import unicode as uni
 
@@ -159,22 +281,65 @@ class LinearEncoder:
     def _encode_batch(self, cps: np.ndarray, with_positions: bool = False):
         n = int(cps.shape[0])
 
-        # S = text · 1 · vocab_tail  (src/linear.cpp:87-101), padded to a
-        # power of two with strictly increasing sentinels above the
-        # alphabet: pad suffixes sort among themselves, never share a
-        # prefix with anything (distinct values), and push no tokens, so
-        # results for text positions are unchanged while compiled shapes
-        # are reused across corpus sizes (XLA sort compile time scales
-        # with n, so shape bucketing is essential).
-        s_core = np.concatenate([cps, np.array([1], dtype=np.int32), self._vocab_tail])
+        # S = text · sep · vocab_tail  (src/linear.cpp:87-101), densely
+        # remapped to [0, sigma) so max_len symbols pack into a few int32
+        # sort keys; pad = 2^bits - 1 (> every dense symbol: pad suffixes
+        # sort last, push no tokens, and the commit phase never visits
+        # them).  Shapes bucket so compiled programs are reused across
+        # corpus sizes.
+        s_core = np.concatenate(
+            [cps, np.array([-1], dtype=np.int32), self._vocab_tail]
+        )
         n_core = s_core.shape[0]
         if n_core > 1_000_000_000:
             raise ValueError("64-bit suffix arrays not supported")
-        # Shape buckets {2^k, 3·2^(k-1)}: sort cost scales ~n log n, so the
-        # extra half-step bucket saves up to 25% device work vs pure pow2
-        # at the price of one more compiled variant (cache persists).
-        p2 = max(128, 1 << (n_core - 1).bit_length())
-        n_s = 3 * (p2 // 4) if n_core <= 3 * (p2 // 4) else p2
+        # Dense alphabet: vocab symbols are pre-sorted; union with the
+        # batch's text symbols.
+        alpha = np.union1d(np.unique(cps), self._vocab_alpha)
+        plan = kgram_plan(int(alpha.shape[0]), self.max_len)
+        if plan is None:  # pragma: no cover - huge alphabet x huge token
+            return self._encode_batch_doubling(cps, with_positions)
+        bits, per, nk = plan
+        s_dense = np.searchsorted(alpha, s_core).astype(np.int32)
+        n_s = _bucket(n_core)
+        pad_sym = (1 << bits) - 1
+        s_host = np.full(n_s, pad_sym, dtype=np.int32)
+        s_host[:n_core] = s_dense
+
+        # Text padded as well (pad = space: skipped by the walk, emits
+        # nothing) so features/match/commit shapes bucket.
+        n_text_pad = _bucket(n)
+        cps_pad = np.full(n_text_pad, 32, dtype=np.int32)
+        cps_pad[:n] = cps
+
+        ids, positions, count = _linear_batch_device(
+            jnp.asarray(s_host),
+            jnp.asarray(cps_pad),
+            jnp.int32(n),
+            self._d_tok_starts,
+            self._d_tok_len,
+            self._d_tok_id,
+            self._d_tok_kind,
+            bits=bits,
+            per=per,
+            nk=nk,
+            max_len=self.max_len,
+            unk_id=int(self.vocab.unk_token_id),
+        )
+        if with_positions:
+            return ids, positions, count
+        count = int(count)
+        return np.asarray(ids[:count])
+
+    def _encode_batch_doubling(self, cps: np.ndarray, with_positions: bool = False):
+        """Fallback batch using the prefix-doubling SA (kept for alphabets
+        x token lengths where the packed k-gram keys would degenerate)."""
+        n = int(cps.shape[0])
+        s_core = np.concatenate(
+            [cps, np.array([-1], dtype=np.int32), self._vocab_tail]
+        )
+        n_core = s_core.shape[0]
+        n_s = _bucket(n_core)
         pad_base = int(max(int(s_core.max()), 0x110000)) + 1
         s_host = np.concatenate(
             [s_core, pad_base + np.arange(n_s - n_core, dtype=np.int32)]
@@ -182,11 +347,8 @@ class LinearEncoder:
 
         s_dev = jnp.asarray(s_host)
         sa, rank = suffix_array(s_dev)
-        # Clamped LCP suffices: the sweeps compare it only against token
-        # lengths <= max_len (see ops/suffix_array.py).
         lcp = lcp_clamped(s_dev, sa, clamp=self.max_len)
 
-        # who arrays indexed by SA rank.
         rank_np = np.asarray(rank)
         who_len = np.zeros(n_s, dtype=np.int32)
         who_id = np.full(n_s, -1, dtype=np.int32)
@@ -198,9 +360,7 @@ class LinearEncoder:
         who_id[tok_rank[sel]] = np.arange(self.vocab.size, dtype=np.int32)[sel]
         who_kind[tok_rank[sel]] = self._kind[sel]
 
-        # Text padded to a power of two as well (pad = space: skipped by
-        # the walk, emits nothing) so features/match/commit shapes bucket.
-        n_text_pad = max(128, 1 << (n - 1).bit_length())
+        n_text_pad = _bucket(n)
         cps_pad = np.full(n_text_pad, 32, dtype=np.int32)
         cps_pad[:n] = cps
         feats = text_features.compute_features(
