@@ -69,6 +69,22 @@ def run(langs, size_mb, engines, collect=False, iters=3):
         hf = _try_huggingface(corpus, vocab_lines)
         if hf is not None:
             results[lang]["huggingface"] = hf
+        for name, mod in (
+            ("tensorflow-text", "tensorflow_text"),
+            ("torchtext", "torchtext"),
+            ("keras-nlp", "keras_nlp"),
+        ):
+            # The reference times these (tests/speed_test.py:34-86); this
+            # image does not ship them — record the absence explicitly
+            # rather than silently skipping the row.
+            try:
+                __import__(mod)
+                print(
+                    f"[{lang}] {name}: importable but no timing adapter wired",
+                    file=sys.stderr,
+                )
+            except ImportError:
+                print(f"[{lang}] {name}: absent from environment", file=sys.stderr)
 
     return results, counts
 
