@@ -137,6 +137,13 @@ class LinearEncoder:
         self._vocab_alpha = np.union1d(
             self._vocab_tail, np.array([-1], dtype=np.int32)
         ).astype(np.int32)
+        self.stats = None  # optional utils.profiling.StageStats
+
+    def _stage(self, name, nbytes=0):
+        import contextlib
+
+        st = self.stats
+        return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
 
     # Max |S| per internal SA batch.  The reference also batches its
     # linear algorithm (memory_limit/20 "because of SAIS",
