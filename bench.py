@@ -148,7 +148,12 @@ def main() -> int:
     # XLA programs are identical, so later runs skip compilation.
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    from wordpiece_tpu.utils.cache_key import cache_dir as _mk_cache_dir
+
+    # Machine-keyed subdir: never load another machine type's AOT entries.
+    cache_dir = _mk_cache_dir(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -161,7 +166,11 @@ def main() -> int:
     # line).  Each is best-effort: a failure prints a diagnostic but does
     # not sink the primary metric.
     if not args.no_secondary:
-        secondary = [("linear", "en"), ("fast", "ru"), ("fast", "ja"), ("fast", "zh")]
+        # Cheapest first: the fast/<lang> runs reuse the fast engine's
+        # compiled programs and finish in seconds; linear/en compiles a
+        # fresh SA program and can eat most of the budget — it must not
+        # starve the multilingual rows (BENCH_r02 lost them that way).
+        secondary = [("fast", "ru"), ("fast", "ja"), ("fast", "zh"), ("linear", "en")]
         for engine, lang in secondary:
             if engine == args.engine and lang == "en":
                 continue

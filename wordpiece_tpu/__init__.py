@@ -17,17 +17,23 @@ Public surface:
 import os as _os
 
 # Persistent XLA compilation cache: kernel compiles through the remote
-# TPU compiler take tens of seconds; cache them across processes.
+# TPU compiler take tens of seconds; cache them across processes.  The
+# directory is keyed per machine (utils/cache_key.py) so XLA:CPU AOT
+# results compiled on one machine type are never loaded on another
+# (mismatched machine types can SIGILL).
 # Opt out with WORDPIECE_TPU_NO_COMPILE_CACHE=1.
 if not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        _cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "wordpiece_tpu_xla"),
+        from .utils.cache_key import cache_dir as _mk_cache_dir
+
+        _cache_dir = _mk_cache_dir(
+            _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.join(_os.path.expanduser("~"), ".cache", "wordpiece_tpu_xla"),
+            )
         )
-        _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

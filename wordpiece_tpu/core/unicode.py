@@ -30,6 +30,8 @@ non-continuation bytes (src/utils.cpp:49-51).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 INVALID_UNICODE = 0x110000
@@ -227,6 +229,26 @@ def encode_utf8(codepoints: np.ndarray) -> bytes:
     out[offs[four] + 2] = 0x80 | ((cps[four] >> 6) & 0x3F)
     out[offs[four] + 3] = 0x80 | (cps[four] & 0x3F)
     return out.tobytes()
+
+
+# Byte positions at which the corpus may be cut without splitting a unit:
+# any ASCII space-class byte (a complete one-byte space codepoint,
+# utf8.cpp:10-12 semantics) or the lead byte of U+2581 (E2 96 81).  A
+# UTF-8 continuation byte (0x80-0xBF) can never match either pattern, so
+# the scan is safe starting from ANY byte offset, even mid-codepoint.
+_SPACE_CUT_RE = re.compile(rb"[\t\n\x0b\x0c\r ]|\xe2\x96\x81")
+
+
+def find_space_cut(data: bytes, start: int = 0) -> int:
+    """Smallest i >= start where data[i] begins a space-class codepoint
+    (a unit-safe cut point), or -1 if none exists.
+
+    Replaces 0x20-only scans: a corpus whose separators are newlines or
+    U+2581 (plausible for zh/ja line corpora) must still split into
+    multiple pipeline chunks / host halves / process shards.
+    """
+    m = _SPACE_CUT_RE.search(data, start)
+    return m.start() if m else -1
 
 
 def starts_with_space(data: bytes) -> bool:

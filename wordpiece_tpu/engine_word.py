@@ -159,6 +159,13 @@ class WordEncoder:
 
         return jax.default_backend() not in ("cpu",)
 
+    def _interpret(self) -> bool:
+        """Pallas interpret mode: required when the compact/multi kernels
+        run on the CPU backend (tests force _use_pallas there)."""
+        import jax
+
+        return jax.default_backend() == "cpu"
+
     def _dispatch_buckets(self, mats: list[np.ndarray]):
         """Start the device program for all non-empty buckets (async under
         jax dispatch); returns an opaque handle for _fetch_buckets."""
@@ -198,6 +205,7 @@ class WordEncoder:
             strides=tuple(strides),
             block_rows=BLOCK_ROWS,
             cap=cap,
+            interpret=self._interpret(),
             **self._statics,
         )
         try:
@@ -214,7 +222,7 @@ class WordEncoder:
         _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
         fused = np.asarray(out_dev)  # ONE D2H transfer
         total = int(fused[0])
-        if total > cap:  # pragma: no cover - needs >2 ids/unit on average
+        if total > cap:  # >2 ids/unit on average (UNK-heavy / char vocabs)
             return self._fetch_full(packed, strides, nonempty, rows, sizes, n_mats)
         rows_total = sum(rows)
         compact = fused[1 + rows_total : 1 + rows_total + total]
@@ -252,6 +260,7 @@ class WordEncoder:
             self._tab_id,
             strides=tuple(strides),
             block_rows=BLOCK_ROWS,
+            interpret=self._interpret(),
             **self._statics,
         )
         out_cat = np.asarray(out_dev)
@@ -399,15 +408,20 @@ class WordEncoder:
                 return self._finish_chunk(
                     data, self._prepare_chunk(data, session, first), store
                 )
-            # Split at ASCII-space boundaries (units never span spaces).
+            # Split at space-class boundaries (units never span spaces;
+            # any space-class codepoint qualifies — newline- or
+            # U+2581-separated corpora must pipeline too).
+            from .core.unicode import find_space_cut
+
             chunks = []
             begin = 0
             n = len(data)
             while begin < n:
                 step = self.PIPELINE_FIRST if begin == 0 else self.PIPELINE_CHUNK
                 end = min(n, begin + step)
-                while end < n and data[end] != 0x20:
-                    end += 1
+                if end < n:
+                    cut = find_space_cut(data, end)
+                    end = cut if cut >= 0 else n
                 chunks.append(data[begin:end])
                 begin = end
             if self._executor is None:

@@ -56,11 +56,14 @@ def initialize_distributed(
 def file_shard_bounds(path: str, process_id: int, num_processes: int) -> tuple[int, int]:
     """[start, end) byte range of `path` owned by `process_id`.
 
-    Boundaries are the first ASCII space at-or-after i*size/n (scanning a
-    bounded window), so no unit crosses a shard edge and every process
-    computes identical bounds reading only ~1 MB — no coordination.
-    ASCII space is always a UTF-8 codepoint boundary.
+    Boundaries are the first space-class cut point at-or-after i*size/n
+    (scanning a bounded window; core.unicode.find_space_cut — ASCII
+    whitespace or U+2581, so newline-only corpora shard too), so no unit
+    crosses a shard edge and every process computes identical bounds
+    reading only ~1 MB — no coordination.
     """
+    from ..core.unicode import find_space_cut
+
     size = os.path.getsize(path)
     base = -(-size // num_processes)
 
@@ -73,7 +76,7 @@ def file_shard_bounds(path: str, process_id: int, num_processes: int) -> tuple[i
         with open(path, "rb") as f:
             f.seek(target)
             window = f.read(1 << 20)
-        off = window.find(b" ")
+        off = find_space_cut(window)
         return target + off if off >= 0 else size
 
     return bound(process_id), bound(process_id + 1)

@@ -714,9 +714,20 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
     return wp_segment_dedupe(data, size, occ_unique, uniq_start, uniq_len,
                              uniq_cplen, n_unique_out);
   }
-  // Split point: an ASCII space byte near the middle (spaces delimit).
+  // Split point: the first space-class cut at-or-after the middle.  Any
+  // ASCII whitespace byte is a complete one-byte space codepoint, and
+  // 0xE2 0x96 0x81 is U+2581 (also a space); a continuation byte can
+  // match neither, so scanning from an arbitrary byte offset is safe.
+  // (0x20-only scanning would degrade newline-separated corpora to ONE
+  // half — correct output, no host parallelism.)
+  const auto is_space_cut = [&](int64_t i) {
+    const uint8_t c = data[i];
+    if (c == 0x20 || (c >= 9 && c <= 13)) return true;
+    return c == 0xE2 && i + 2 < size && data[i + 1] == 0x96 &&
+           data[i + 2] == 0x81;
+  };
   int64_t mid = size / 2;
-  while (mid < size && data[mid] != 0x20) mid++;
+  while (mid < size && !is_space_cut(mid)) mid++;
   if (mid >= size) {
     return wp_segment_dedupe(data, size, occ_unique, uniq_start, uniq_len,
                              uniq_cplen, n_unique_out);
