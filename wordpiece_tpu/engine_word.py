@@ -376,6 +376,15 @@ class WordEncoder:
     PIPELINE_FIRST = 1_000_000
     PIPELINE_WINDOW = 4  # max chunks in flight (bounds host memory)
 
+    # Lockstep mode (multi-process SPMD): when True, EVERY chunk enters
+    # the device program — even chunks with zero or few new units that
+    # the single-process path would skip or encode on the host scalar.
+    # A multi-process device step is a collective: all processes must
+    # enter it the same number of times, or the pod deadlocks.  Set by
+    # MultiHostWordEncoder together with an agreed (allgather-max'd)
+    # n_chunks so chunk counts match across processes.
+    lockstep_dispatch = False
+
     def reset_cache(self) -> None:
         """Drop the persistent unit cache (cache=True encoders)."""
         if self._cache_state is not None:
@@ -388,8 +397,11 @@ class WordEncoder:
         st = self.stats
         return st.stage(name, nbytes) if st is not None else contextlib.nullcontext()
 
-    def encode_bytes(self, data: bytes) -> np.ndarray:
-        if len(data) == 0:
+    def encode_bytes(self, data: bytes, *, n_chunks: int | None = None) -> np.ndarray:
+        """Encode a byte corpus.  `n_chunks` forces the pipeline to split
+        into EXACTLY that many chunks (trailing chunks may be empty) —
+        the multi-process lockstep contract (see lockstep_dispatch)."""
+        if len(data) == 0 and not (self.lockstep_dispatch and n_chunks):
             return np.zeros(0, dtype=np.int32)
         if self.cache:
             # Persistent vocabulary session: the unit table and token
@@ -404,7 +416,7 @@ class WordEncoder:
             store = _TokenStore()
             first = True
         try:
-            if len(data) <= self.PIPELINE_CHUNK:
+            if (n_chunks is None or n_chunks <= 1) and len(data) <= self.PIPELINE_CHUNK:
                 return self._finish_chunk(
                     data, self._prepare_chunk(data, session, first), store
                 )
@@ -416,14 +428,28 @@ class WordEncoder:
             chunks = []
             begin = 0
             n = len(data)
-            while begin < n:
-                step = self.PIPELINE_FIRST if begin == 0 else self.PIPELINE_CHUNK
-                end = min(n, begin + step)
-                if end < n:
-                    cut = find_space_cut(data, end)
-                    end = cut if cut >= 0 else n
-                chunks.append(data[begin:end])
-                begin = end
+            if n_chunks is not None:
+                # Exactly n_chunks chunks (lockstep); tail may be empty.
+                target = max(1, -(-n // n_chunks))
+                for ci in range(n_chunks):
+                    if ci == n_chunks - 1:
+                        end = n
+                    else:
+                        end = min(n, begin + target)
+                        if end < n:
+                            cut = find_space_cut(data, end)
+                            end = cut if cut >= 0 else n
+                    chunks.append(data[begin:end])
+                    begin = end
+            else:
+                while begin < n:
+                    step = self.PIPELINE_FIRST if begin == 0 else self.PIPELINE_CHUNK
+                    end = min(n, begin + step)
+                    if end < n:
+                        cut = find_space_cut(data, end)
+                        end = cut if cut >= 0 else n
+                    chunks.append(data[begin:end])
+                    begin = end
             if self._executor is None:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -480,9 +506,13 @@ class WordEncoder:
         batches (already in uid order, no device fetch)."""
         with self._stage("host_segment_dedupe", len(data)):
             occ, nstart, nlen, ncplen = session.segment(data)
-        if nstart.shape[0] == 0:
+        if nstart.shape[0] == 0 and not self.lockstep_dispatch:
             return (occ, None, None, None, None, None, None)
-        if not first and nstart.shape[0] <= self.SCALAR_MAX_NEW:
+        if (
+            not first
+            and not self.lockstep_dispatch
+            and nstart.shape[0] <= self.SCALAR_MAX_NEW
+        ):
             with self._stage("host_scalar_units"):
                 flat, counts = self._scalar.encode_units(
                     data, nstart, nlen, int(ncplen.sum())

@@ -41,11 +41,21 @@ def initialize_distributed(
     process_id: int | None = None,
 ) -> None:
     """Form the process group (jax.distributed).  No-op when already
-    initialized or when running single-process with no coordinator."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
+    initialized or when running single-process with no coordinator.
+
+    Must run BEFORE anything initializes the JAX backend (jax.devices(),
+    jax.process_count(), any computation): jax.distributed.initialize
+    refuses to run after backend init, so this probes the distributed
+    client state directly instead of calling jax.process_count()."""
     if coordinator_address is None and num_processes in (None, 1):
         return  # single process: nothing to form
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # already initialized by the launcher
+    except Exception:  # pragma: no cover - private-API drift
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -187,6 +197,12 @@ class MultiHostWordEncoder:
         self.vocab = vocab
         self._inner = WordEncoder(vocab)
         self._inner._run_all_buckets = self._run_all_buckets_global  # type: ignore[method-assign]
+        # Multi-process runs are SPMD: every process must enter the global
+        # device program (and its allgather padding collectives) the same
+        # number of times.  Lockstep forces a dispatch per chunk even for
+        # chunks with zero/few new units, and encode_local_bytes agrees on
+        # an identical chunk count across processes below.
+        self._inner.lockstep_dispatch = jax.process_count() > 1
         self.last_global_total: int | None = None
 
     # -- device step over the global mesh -----------------------------------
@@ -260,8 +276,19 @@ class MultiHostWordEncoder:
     def encode_local_bytes(self, data: bytes) -> tuple[np.ndarray, int]:
         """Encode THIS PROCESS's corpus shard.  Returns (local_ids,
         global_total_ids); the concatenation of local_ids in process
-        order equals the single-process encode of the whole corpus."""
-        local = self._inner.encode_bytes(data)
+        order equals the single-process encode of the whole corpus.
+
+        Collective contract: all processes must call this together (the
+        device step and the shape-agreement allgathers are collectives).
+        Chunk counts are agreed via allgather-max so uneven shard sizes
+        can never desynchronize the pipeline (lockstep_dispatch)."""
+        if jax.process_count() > 1:
+            n_chunks = _allgather_max(
+                max(1, -(-len(data) // self._inner.PIPELINE_CHUNK))
+            )
+            local = self._inner.encode_bytes(data, n_chunks=n_chunks)
+        else:
+            local = self._inner.encode_bytes(data)
         total = _allgather_sum(int(local.shape[0]))
         self.last_global_total = total
         return local, total
