@@ -138,6 +138,7 @@ class LinearEncoder:
             self._vocab_tail, np.array([-1], dtype=np.int32)
         ).astype(np.int32)
         self.stats = None  # optional utils.profiling.StageStats
+        self._executor = None  # lazy 1-thread pool for pipelined prepares
 
     def _stage(self, name, nbytes=0):
         import contextlib
@@ -186,45 +187,110 @@ class LinearEncoder:
             return self.encode_codepoints(np.asarray(uni.decode_utf8(data)))
         if len(data) == 0:
             return np.zeros(0, dtype=np.int32)
-        occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
+        with self._stage("host_segment_dedupe", len(data)):
+            occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
         nu = ustart.shape[0]
         if nu == 0:
             return np.zeros(0, dtype=np.int32)
         if self.max_len > self.MAX_SLOT_LEN:
             return self._encode_units_scalar(data, occ, ustart, ulen, ucplen)
 
-        # Join unique units with single spaces; batch so each joined
-        # batch fits MAX_TEXT_BATCH.  Unit u's codepoints occupy
-        # [cstart[u], cstart[u] + ucplen[u]) of its batch.
+        # Join unique units with single spaces (natively, one pass);
+        # batch so each joined batch fits MAX_TEXT_BATCH.  Unit u+k of a
+        # batch occupies [csum[u+k]-csum[u], ...+ucplen[u+k]).  Batch
+        # bounds come from one searchsorted over the cplen prefix sums.
+        csum = np.zeros(nu + 1, dtype=np.int64)
+        np.cumsum(ucplen.astype(np.int64) + 1, out=csum[1:])
+        bounds = [0]
+        u = 0
+        while u < nu:
+            v = int(
+                np.searchsorted(csum, csum[u] + self.MAX_TEXT_BATCH, side="right")
+            ) - 1
+            v = min(max(v, u + 1), nu)
+            bounds.append(v)
+            u = v
+
+        # Pipeline: a worker thread joins + dense-remaps + dispatches
+        # batch k+1 while the main thread fetches batch k (jax dispatch
+        # is async; ctypes releases the GIL) — the same windowed overlap
+        # as the word engine's chunk pipeline (engine_word.encode_bytes).
         counts_u = np.zeros(nu, dtype=np.int64)
         offsets = np.zeros(nu + 1, dtype=np.int64)
         flats: list[np.ndarray] = []
-        u = 0
-        while u < nu:
-            # Greedy batch of units.
-            total = 0
-            v = u
-            while v < nu and (total + int(ucplen[v]) + 1 <= self.MAX_TEXT_BATCH or v == u):
-                total += int(ucplen[v]) + 1
-                v += 1
-            joined = b" ".join(
-                data[int(ustart[k]) : int(ustart[k]) + int(ulen[k])] for k in range(u, v)
-            )
-            from .core import unicode as uni
 
-            cps = np.asarray(uni.decode_utf8(joined), dtype=np.int32)
-            cstart = np.zeros(v - u + 1, dtype=np.int64)
-            np.cumsum(ucplen[u:v].astype(np.int64) + 1, out=cstart[1:])
-            ids, positions = self._encode_batch_pos(cps)
+        def finish(state) -> None:
+            u, v, handle = state
+            with self._stage("device_fetch"):
+                ids, positions = self._fetch_batch(handle)
             # Attribute each emitted id to its unit (positions ascend).
+            cstart = csum[u : v + 1] - csum[u]
             unit_of = np.searchsorted(cstart, positions, side="right") - 1
             counts_u[u:v] = np.bincount(unit_of, minlength=v - u)
             flats.append(ids)
-            u = v
+
+        if self._executor is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(max_workers=1)
+        from collections import deque
+
+        window: deque = deque()
+        try:
+            for u, v in zip(bounds[:-1], bounds[1:]):
+                window.append(
+                    self._executor.submit(
+                        self._prepare_batch, data, ustart, ulen, csum, u, v
+                    )
+                )
+                if len(window) >= self.PIPELINE_WINDOW:
+                    finish(window.popleft().result())
+            while window:
+                finish(window.popleft().result())
+        finally:
+            for f in window:
+                try:
+                    f.result()
+                except Exception:
+                    pass
         np.cumsum(counts_u, out=offsets[1:])
         tok_flat = np.concatenate(flats) if flats else np.zeros(0, np.int32)
-        out = loader.expand(occ, tok_flat, offsets)
+        with self._stage("host_expand"):
+            out = loader.expand(occ, tok_flat, offsets)
         return out if out is not None else np.zeros(0, np.int32)
+
+    PIPELINE_WINDOW = 3  # max batches in flight (bounds host + HBM use)
+
+    def _prepare_batch(self, data, ustart, ulen, csum, u: int, v: int):
+        """Host join + device dispatch for units [u, v) (worker thread)."""
+        from .runtime import loader
+
+        cap = int(csum[v] - csum[u] - 1)
+        with self._stage("host_join"):
+            cps = loader.join_units_cps(data, ustart, ulen, u, v, cap)
+        with self._stage("device_dispatch"):
+            handle = self._dispatch_batch(cps)
+        return (u, v, handle)
+
+    def _dispatch_batch(self, cps: np.ndarray):
+        """Async device dispatch of one batch; pair with _fetch_batch."""
+        out = self._encode_batch(cps, with_positions=True)
+        if isinstance(out, tuple) and len(out) == 3:
+            ids, positions, count = out
+            try:
+                count.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - numpy fallback
+                pass
+            return (ids, positions, count)
+        return out  # pragma: no cover - defensive
+
+    def _fetch_batch(self, handle):
+        ids, positions, count = handle
+        count = int(count)
+        return (
+            np.asarray(ids[:count]),
+            np.asarray(positions[:count]),
+        )
 
     def _encode_units_scalar(self, data, occ, ustart, ulen, ucplen) -> np.ndarray:
         """Long-token vocab fallback: native scalar encode of each unique
@@ -240,12 +306,6 @@ class LinearEncoder:
         np.cumsum(counts.astype(np.int64), out=offsets[1:])
         out = loader.expand(occ, flat, offsets)
         return out if out is not None else np.zeros(0, np.int32)
-
-    def _encode_batch_pos(self, cps: np.ndarray):
-        """One SA batch returning (ids, positions) as numpy."""
-        ids, positions, count = self._encode_batch(cps, with_positions=True)
-        count = int(count)
-        return np.asarray(ids[:count]), np.asarray(positions[:count])
 
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         cps = np.asarray(cps, dtype=np.int32)

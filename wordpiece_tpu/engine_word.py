@@ -46,12 +46,26 @@ BLOCK_ROWS = 256
 
 def _round_rows(n: int, multiple: int = BLOCK_ROWS) -> int:
     n = max(multiple, ((n + multiple - 1) // multiple) * multiple)
-    # Round to a power of two to bound the number of compiled variants.
-    return 1 << (n - 1).bit_length()
+    # {2^k, 3*2^(k-1)} shape buckets (one extra compiled variant per
+    # octave, persistent-cached) shave up to 25% of pad rows vs pure
+    # pow2 — pad rows cost real H2D bytes and kernel time.
+    p2 = 1 << (n - 1).bit_length()
+    q = 3 * (p2 // 4)
+    return q if (n <= q and q % multiple == 0) else p2
 
 
-def pack_groups(mat: np.ndarray, stride: int, max_len: int) -> np.ndarray:
-    """(U, W) unit matrix -> (rows, 128 + max_len) group-packed, pad 32."""
+def pack_groups(
+    mat: np.ndarray, stride: int, max_len: int, *, narrow: bool = False
+) -> np.ndarray:
+    """(U, W) unit matrix -> group-packed rows, pad 32.
+
+    narrow=False: int32[rows, 128 + max_len] (the kernels' full layout).
+    narrow=True with BMP-only codepoints: uint16[rows, 128] — the device
+    widens and appends the pad block (word_kernel_pallas._widen_pad), so
+    H2D ships 2 bytes/lane and no pad columns (the axon tunnel's ~20MB/s
+    makes the first chunk's H2D a critical-path item).  Falls back to the
+    full int32 layout when any codepoint exceeds uint16.
+    """
     u, w = mat.shape
     assert w == stride - 1
     n_groups = 128 // stride
@@ -59,6 +73,8 @@ def pack_groups(mat: np.ndarray, stride: int, max_len: int) -> np.ndarray:
     units = np.full((rows * n_groups, stride), 32, dtype=np.int32)
     units[:u, :w] = mat
     packed = units.reshape(rows, 128)
+    if narrow and (u == 0 or int(mat.max()) <= 0xFFFF):
+        return packed.astype(np.uint16)
     out = np.full((rows, 128 + max_len), 32, dtype=np.int32)
     out[:, :128] = packed
     return out
@@ -190,7 +206,9 @@ class WordEncoder:
                 continue
             nonempty.append(b)
             strides.append(STRIDES[b])
-            packed.append(jnp.asarray(pack_groups(mat, STRIDES[b], max_len)))
+            packed.append(
+                jnp.asarray(pack_groups(mat, STRIDES[b], max_len, narrow=True))
+            )
             n_units_total += mat.shape[0]
         if not packed:
             return ("sync", [None] * len(mats))
@@ -284,7 +302,7 @@ class WordEncoder:
             from .ops.word_kernel_pallas import word_match_commit_pallas
 
             stride = width + 1
-            packed = pack_groups(mat, stride, max_len)
+            packed = pack_groups(mat, stride, max_len, narrow=True)
             emit = word_match_commit_pallas(
                 jnp.asarray(packed),
                 self._tab_k1,

@@ -38,6 +38,17 @@ LANES = 128
 BIG = 10_000  # plain int: jnp constants cannot be captured by pallas kernels
 
 
+def _widen_pad(cp: jax.Array, max_len: int) -> jax.Array:
+    """Accept the narrow H2D layout (uint16[rows, 128], no pad columns —
+    see engine_word.pack_groups(narrow=True)) and rebuild the kernels'
+    full int32[rows, 128 + max_len] layout ON DEVICE (pad value 32).
+    int32 inputs pass through (already full layout)."""
+    if cp.dtype == jnp.int32:
+        return cp
+    pad = jnp.full((cp.shape[0], max_len), 32, jnp.int32)
+    return jnp.concatenate([cp.astype(jnp.int32), pad], axis=1)
+
+
 def _masked_suffix_min(v, local, stride):
     """Suffix min along lanes, not crossing group boundaries.
 
@@ -193,6 +204,7 @@ def word_match_commit_pallas(
     unk_id: int,
     block_rows: int = 256,
 ) -> jax.Array:
+    cp = _widen_pad(cp, max_len)
     u_rows = cp.shape[0]
     assert u_rows % block_rows == 0, (u_rows, block_rows)
     kernel = partial(
@@ -248,6 +260,7 @@ def word_match_commit_multi(
     per corpus batch."""
     outs = []
     for cp, stride in zip(cps, strides):
+        cp = _widen_pad(cp, max_len)
         u_rows = cp.shape[0]
         kernel = partial(
             _kernel,

@@ -102,6 +102,15 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.wp_join_units_cps.restype = ctypes.c_int64
+        lib.wp_join_units_cps.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.wp_expand.restype = ctypes.c_int64
         lib.wp_expand.argtypes = [
             ctypes.c_void_p,
@@ -109,6 +118,15 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_void_p,
             ctypes.c_void_p,
+        ]
+        lib.wp_expand_mt.restype = ctypes.c_int64
+        lib.wp_expand_mt.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
         ]
         lib.wp_expand_total.restype = ctypes.c_int64
         lib.wp_expand_total.argtypes = [
@@ -442,6 +460,27 @@ def bucket_fill(data: bytes, ustart, ulen, ucplen, widths):
     return matrices, bucket_of, row_of
 
 
+def join_units_cps(data: bytes, ustart, ulen, u_begin: int, u_end: int, cap: int):
+    """Decode units [u_begin, u_end) into one int32 codepoint array with
+    single-space separators (the linear engine's joined-batch layout).
+    `cap` = sum(ucplen[u_begin:u_end]) + (u_end - u_begin - 1)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(max(cap, 1), dtype=np.int32)
+    buf = np.frombuffer(data, dtype=np.uint8) if len(data) else np.zeros(1, np.uint8)
+    n = lib.wp_join_units_cps(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ustart, np.int64).ctypes.data_as(ctypes.c_void_p),
+        np.ascontiguousarray(ulen, np.int32).ctypes.data_as(ctypes.c_void_p),
+        np.int64(u_begin),
+        np.int64(u_end),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    assert n <= cap
+    return out[:n]
+
+
 def expand(occ_unique, tok_flat, tok_offsets, *, slack: bool = False) -> np.ndarray | None:
     """slack=True promises tok_flat already has >= 2 readable int32 slots
     past tok_offsets[-1] (wp_expand over-reads 2 ids per occurrence)."""
@@ -462,12 +501,13 @@ def expand(occ_unique, tok_flat, tok_offsets, *, slack: bool = False) -> np.ndar
         )
     )
     out = np.empty(total + 2, dtype=np.int32)  # 2 spare write slots
-    n = lib.wp_expand(
+    n = lib.wp_expand_mt(
         occ.ctypes.data_as(ctypes.c_void_p),
         occ.shape[0],
         flat.ctypes.data_as(ctypes.c_void_p),
         offs.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
+        np.int32(n_threads()),
     )
     assert n == total
     return out[:n]

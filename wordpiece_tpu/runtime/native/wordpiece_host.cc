@@ -356,6 +356,23 @@ inline uint64_t load64(const uint8_t* p) {
   return w;
 }
 
+// Word-at-a-time equality of two len-byte regions; never reads past
+// [x, x+len) (overlapped 8-byte tail for len >= 8, byte loop below).
+// Beats a memcmp PLT call for the short unit lengths that dominate.
+inline bool unit_eq(const uint8_t* a, const uint8_t* b, int32_t len) {
+  if (len >= 8) {
+    int32_t i = 0;
+    for (; i + 8 <= len; i += 8) {
+      if (load64(a + i) != load64(b + i)) return false;
+    }
+    return load64(a + len - 8) == load64(b + len - 8);
+  }
+  for (int32_t i = 0; i < len; i++) {
+    if (a[i] != b[i]) return false;
+  }
+  return true;
+}
+
 // Hash the unit bytes at data[start .. start+len).  Word-at-a-time (the
 // scalar FNV chain was the old hot spot); `size` bounds a full-width load
 // near the buffer end.  Collisions are harmless: the dedupe table always
@@ -668,8 +685,7 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
       if (seen.t[b].hash == h) {
         const int32_t cand = seen.t[b].uid;
         if (uniq_len[cand] == klen &&
-            std::memcmp(data + uniq_start[cand], data + start,
-                        static_cast<size_t>(klen)) == 0) {
+            unit_eq(data + uniq_start[cand], data + start, klen)) {
           uid = cand;
           break;
         }
@@ -823,33 +839,132 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
 // streaming chunk loop instead.
 
 struct WpDedupeSession {
-  std::vector<uint64_t> hash;
-  std::vector<int32_t> uid;
-  size_t mask;
+  // AoS (hash, uid) slots: one cache line per probe (split hash[]/uid[]
+  // arrays cost two).  Reuses DedupeTable's layout and grow().
+  DedupeTable table{1 << 16};
   std::vector<uint8_t> arena;   // unique-unit bytes, append-only
   std::vector<int64_t> astart;  // per-uid arena offset
   std::vector<int32_t> alen;    // per-uid byte length
   int64_t n_uniq = 0;
+};
 
-  WpDedupeSession() : hash(1 << 16, 0), uid(1 << 16, -1), mask((1 << 16) - 1) {}
+namespace {
 
-  void grow_table() {
-    const size_t ncap = 2 * (mask + 1);
-    std::vector<uint64_t> nh(ncap, 0);
-    std::vector<int32_t> nu(ncap, -1);
-    const size_t nmask = ncap - 1;
-    for (size_t s = 0; s <= mask; s++) {
-      if (uid[s] < 0) continue;
-      size_t b = static_cast<size_t>(hash[s]) & nmask;
-      while (nu[b] >= 0) b = (b + 1) & nmask;
-      nh[b] = hash[s];
-      nu[b] = uid[s];
-    }
-    hash.swap(nh);
-    uid.swap(nu);
-    mask = nmask;
+// Per-thread pending state of a session scan: units not (yet) in the
+// session table, deduped thread-locally, plus the occ positions holding
+// -(pending_idx)-1 placeholders to fix up after the serial merge.
+struct PendScan {
+  DedupeTable pend{1 << 12};
+  std::vector<int64_t> pstart;  // absolute byte offsets into data
+  std::vector<int32_t> plen, pcplen;
+  std::vector<uint64_t> phash;
+  std::vector<int64_t> fix_pos;  // half-relative occ indices
+  int64_t n_occ = 0;
+  void reset() {
+    pend.reset(1 << 12);
+    pstart.clear();
+    plen.clear();
+    pcplen.clear();
+    phash.clear();
+    fix_pos.clear();
+    n_occ = 0;
   }
 };
+
+// Scan data[off, off+len) writing SESSION uids into occ; unknown units
+// become -(pending_idx)-1 placeholders collected in `ps`.  Strictly
+// read-only on the session table, so two halves run concurrently.  This
+// is the session fast path: for steady-state pipeline chunks (Zipf: new
+// units are rare) occurrence ids are final immediately — no chunk-local
+// table, no re-hash, no full-occurrence remap pass (the old path paid
+// all three; see wp_segment_dedupe_mt's merge for the standalone shape).
+void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
+                       int64_t total_size, int64_t off, int64_t len,
+                       int32_t* occ, PendScan* ps) {
+  thread_local ClassMasks cm;
+  build_class_masks(data + off, len, &cm);
+  ps->reset();
+  const DedupeTable::Slot* slots = s->table.t.data();
+  const size_t smask = s->table.mask;
+  const uint8_t* arena = s->arena.data();
+  const int64_t* astart = s->astart.data();
+  const int32_t* alen = s->alen.data();
+
+  int64_t i = 0;
+  int64_t start, nstart;
+  int32_t klen, cplen, nklen, ncplen;
+  uint64_t h = 0, nh = 0;
+  int64_t n = 0;
+  // 1-deep software pipeline (as in wp_segment_dedupe): prefetch unit
+  // k+1's session slot while probing unit k.
+  bool have = scan_unit(data + off, len, cm, &i, &start, &klen, &cplen);
+  if (have) {
+    start += off;
+    h = hash_unit(data, start, klen, total_size);
+    __builtin_prefetch(&slots[static_cast<size_t>(h) & smask]);
+  }
+  while (have) {
+    const bool have_next =
+        scan_unit(data + off, len, cm, &i, &nstart, &nklen, &ncplen);
+    if (have_next) {
+      nstart += off;
+      nh = hash_unit(data, nstart, nklen, total_size);
+      __builtin_prefetch(&slots[static_cast<size_t>(nh) & smask]);
+    }
+    // Session probe (read-only).
+    size_t b = static_cast<size_t>(h) & smask;
+    int32_t uid = -1;
+    while (slots[b].uid >= 0) {
+      const int32_t cand = slots[b].uid;
+      if (slots[b].hash == h && alen[static_cast<size_t>(cand)] == klen &&
+          unit_eq(arena + astart[static_cast<size_t>(cand)], data + start,
+                  klen)) {
+        uid = cand;
+        break;
+      }
+      b = (b + 1) & smask;
+    }
+    if (uid >= 0) {
+      occ[n] = uid;
+    } else {
+      // Pending-local dedupe.
+      size_t pb = static_cast<size_t>(h) & ps->pend.mask;
+      int32_t pid = -1;
+      while (ps->pend.t[pb].uid >= 0) {
+        const int32_t cand = ps->pend.t[pb].uid;
+        if (ps->pend.t[pb].hash == h &&
+            ps->plen[static_cast<size_t>(cand)] == klen &&
+            unit_eq(data + ps->pstart[static_cast<size_t>(cand)],
+                    data + start, klen)) {
+          pid = cand;
+          break;
+        }
+        pb = (pb + 1) & ps->pend.mask;
+      }
+      if (pid < 0) {
+        pid = static_cast<int32_t>(ps->pstart.size());
+        ps->pstart.push_back(start);
+        ps->plen.push_back(klen);
+        ps->pcplen.push_back(cplen);
+        ps->phash.push_back(h);
+        ps->pend.t[pb].hash = h;
+        ps->pend.t[pb].uid = pid;
+        if (ps->pstart.size() * 2 > ps->pend.mask) ps->pend.grow();
+      }
+      occ[n] = -pid - 1;
+      ps->fix_pos.push_back(n);
+    }
+    n++;
+    start = nstart;
+    klen = nklen;
+    cplen = ncplen;
+    h = nh;
+    have = have_next;
+  }
+  ps->n_occ = n;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -868,65 +983,110 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
                                   int32_t* new_cplen, int64_t* n_new_out,
                                   int64_t* n_total_out, int32_t n_threads) {
   WpDedupeSession* s = static_cast<WpDedupeSession*>(handle);
-  // Chunk-local scratch is thread_local, NOT per-session: sessions are
-  // created per encode call, and zero-initializing fresh vectors would
-  // page-fault ~20 bytes per corpus byte on every call.  Safe because a
-  // session is documented single-threaded per segment call.
-  static thread_local std::vector<int32_t> occ_l, ul_l, ucp_l, remap_v;
-  static thread_local std::vector<int64_t> us_l;
-  const size_t cap = static_cast<size_t>(std::max<int64_t>(size, 1));
-  if (occ_l.size() < cap) {
-    occ_l.resize(cap);
-    ul_l.resize(cap);
-    ucp_l.resize(cap);
-    us_l.resize(cap);
-  }
-  int64_t n_uniq_c = 0;
-  const int64_t n_occ = wp_segment_dedupe_mt(
-      data, size, occ_l.data(), us_l.data(), ul_l.data(),
-      ucp_l.data(), &n_uniq_c, n_threads);
+  // Parallel phase: halves probe the session table READ-ONLY and write
+  // final global uids directly; only first-seen units become pendings.
+  // Serial phase is then O(new units + placeholder occurrences) — for
+  // steady-state pipeline chunks that is the Zipf tail, not the chunk.
+  // Scratch is thread_local, NOT per-session: sessions are created per
+  // encode call and fresh zero-init would page-fault every call.  Safe
+  // because a session is documented single-threaded per segment call.
+  static thread_local PendScan ps1, ps2;
+  static thread_local std::vector<int32_t> occ2_v;
 
-  // Merge chunk-local uniques into the session table.
-  if (remap_v.size() < static_cast<size_t>(n_uniq_c))
-    remap_v.resize(static_cast<size_t>(n_uniq_c));
-  int64_t n_new = 0;
-  for (int64_t u = 0; u < n_uniq_c; u++) {
-    const int64_t start = us_l[static_cast<size_t>(u)];
-    const int32_t len = ul_l[static_cast<size_t>(u)];
-    const uint64_t h = hash_unit(data, start, len, size);
-    size_t b = static_cast<size_t>(h) & s->mask;
-    int32_t found = -1;
-    while (s->uid[b] >= 0) {
-      const int32_t cand = s->uid[b];
-      if (s->hash[b] == h && s->alen[static_cast<size_t>(cand)] == len &&
-          std::memcmp(s->arena.data() + s->astart[static_cast<size_t>(cand)],
-                      data + start, static_cast<size_t>(len)) == 0) {
-        found = cand;
-        break;
-      }
-      b = (b + 1) & s->mask;
-    }
-    if (found < 0) {
-      found = static_cast<int32_t>(s->n_uniq++);
-      s->astart.push_back(static_cast<int64_t>(s->arena.size()));
-      s->alen.push_back(len);
-      s->arena.insert(s->arena.end(), data + start, data + start + len);
-      s->hash[b] = h;
-      s->uid[b] = found;
-      if (static_cast<size_t>(s->n_uniq) * 2 > s->mask) s->grow_table();
-      new_start[n_new] = start;
-      new_len[n_new] = len;
-      new_cplen[n_new] = ucp_l[static_cast<size_t>(u)];
-      n_new++;
-    }
-    remap_v[static_cast<size_t>(u)] = found;
+  int64_t mid = -1;
+  if (n_threads >= 2 && size >= (1 << 20)) {
+    // First space-class cut at-or-after the middle (any ASCII whitespace
+    // byte, or U+2581's 3-byte sequence; a continuation byte can match
+    // neither, so scanning from an arbitrary offset is safe).
+    const auto is_space_cut = [&](int64_t i) {
+      const uint8_t c = data[i];
+      if (c == 0x20 || (c >= 9 && c <= 13)) return true;
+      return c == 0xE2 && i + 2 < size && data[i + 1] == 0x96 &&
+             data[i + 2] == 0x81;
+    };
+    int64_t m = size / 2;
+    while (m < size && !is_space_cut(m)) m++;
+    if (m < size) mid = m;
   }
-  const int32_t* remap = remap_v.data();
-  const int32_t* occ_p = occ_l.data();
-  for (int64_t i = 0; i < n_occ; i++) occ_unique[i] = remap[occ_p[i]];
+
+  int64_t n_occ1 = 0, n_occ2 = 0;
+  if (mid >= 0) {
+    const size_t cap2 = static_cast<size_t>(size - mid);
+    if (occ2_v.size() < cap2) occ2_v.resize(cap2);
+    static thread_local HalfWorker worker;
+    // Bind the thread_locals on THIS thread before handing them to the
+    // worker: a lambda body names a thread_local directly (no capture),
+    // which inside the worker would resolve to the worker's own empty
+    // instances — null occ buffer, pendings written to the wrong state.
+    PendScan* const ps2p = &ps2;
+    int32_t* const occ2p = occ2_v.data();
+    worker.run([=] {
+      session_scan_half(s, data, size, mid, size - mid, occ2p, ps2p);
+    });
+    session_scan_half(s, data, size, 0, mid, occ_unique, &ps1);
+    worker.wait();
+    n_occ1 = ps1.n_occ;
+    n_occ2 = ps2.n_occ;
+    std::memcpy(occ_unique + n_occ1, occ2_v.data(),
+                static_cast<size_t>(n_occ2) * sizeof(int32_t));
+  } else {
+    session_scan_half(s, data, size, 0, size, occ_unique, &ps1);
+    n_occ1 = ps1.n_occ;
+    ps2.reset();
+  }
+
+  // Serial merge: insert pendings into the session (in uid order:
+  // half 1's first), then patch only the placeholder occurrences.
+  int64_t n_new = 0;
+  static thread_local std::vector<int32_t> remap1, remap2;
+  const auto merge_pend = [&](PendScan& ps, std::vector<int32_t>& remap) {
+    const size_t np = ps.pstart.size();
+    if (remap.size() < np) remap.resize(np);
+    for (size_t p = 0; p < np; p++) {
+      const int64_t start = ps.pstart[p];
+      const int32_t len = ps.plen[p];
+      const uint64_t h = ps.phash[p];
+      size_t b = static_cast<size_t>(h) & s->table.mask;
+      int32_t found = -1;
+      while (s->table.t[b].uid >= 0) {
+        const int32_t cand = s->table.t[b].uid;
+        if (s->table.t[b].hash == h &&
+            s->alen[static_cast<size_t>(cand)] == len &&
+            unit_eq(s->arena.data() + s->astart[static_cast<size_t>(cand)],
+                    data + start, len)) {
+          found = cand;
+          break;
+        }
+        b = (b + 1) & s->table.mask;
+      }
+      if (found < 0) {
+        found = static_cast<int32_t>(s->n_uniq++);
+        s->astart.push_back(static_cast<int64_t>(s->arena.size()));
+        s->alen.push_back(len);
+        s->arena.insert(s->arena.end(), data + start, data + start + len);
+        s->table.t[b].hash = h;
+        s->table.t[b].uid = found;
+        if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask) s->table.grow();
+        new_start[n_new] = start;
+        new_len[n_new] = len;
+        new_cplen[n_new] = ps.pcplen[p];
+        n_new++;
+      }
+      remap[p] = found;
+    }
+  };
+  merge_pend(ps1, remap1);
+  merge_pend(ps2, remap2);
+  for (const int64_t pos : ps1.fix_pos) {
+    occ_unique[pos] = remap1[static_cast<size_t>(-occ_unique[pos] - 1)];
+  }
+  for (const int64_t pos : ps2.fix_pos) {
+    occ_unique[n_occ1 + pos] =
+        remap2[static_cast<size_t>(-occ_unique[n_occ1 + pos] - 1)];
+  }
   *n_new_out = n_new;
   *n_total_out = s->n_uniq;
-  return n_occ;
+  return n_occ1 + n_occ2;
 }
 
 }  // extern "C"
@@ -974,6 +1134,31 @@ void wp_bucket_fill(const uint8_t* data, const int64_t* uniq_start,
   }
 }
 
+// Decode units [u_begin, u_end) of `data` into `out` as int32 codepoints
+// with a single space (32) between consecutive units — the linear
+// engine's joined-batch layout (engine_linear.py) built in one native
+// pass instead of a Python per-unit join + a separate utf8 decode.
+// Caller sizes `out` as sum(uniq_cplen[u_begin:u_end]) + (u_end -
+// u_begin - 1).  Returns the count written.
+int64_t wp_join_units_cps(const uint8_t* data, const int64_t* uniq_start,
+                          const int32_t* uniq_len, int64_t u_begin,
+                          int64_t u_end, int32_t* out) {
+  int64_t n = 0;
+  for (int64_t u = u_begin; u < u_end; u++) {
+    if (u > u_begin) out[n++] = 32;
+    const uint8_t* p = data + uniq_start[u];
+    int64_t remaining = uniq_len[u];
+    while (remaining > 0) {
+      int64_t consumed;
+      uint32_t cp = decode_one(p, remaining, &consumed);
+      if (cp != kInvalid) out[n++] = static_cast<int32_t>(cp);
+      p += consumed;
+      remaining -= consumed;
+    }
+  }
+  return n;
+}
+
 // Total id count of the per-occurrence expansion (so the caller can
 // allocate the exact output buffer without a numpy gather).
 int64_t wp_expand_total(const int32_t* occ_unique, int64_t n_occ,
@@ -1006,6 +1191,46 @@ int64_t wp_expand(const int32_t* occ_unique, int64_t n_occ,
     n += c;
   }
   return n;
+}
+
+// Two-thread expand.  Half 1 must not over-copy into half 2's first
+// slots (half 2 writes them concurrently), so its final occurrence is
+// copied exactly; half 2 keeps the over-copy (the caller's +2 spare
+// output slots absorb it, as in wp_expand).
+int64_t wp_expand_mt(const int32_t* occ_unique, int64_t n_occ,
+                     const int32_t* tok_flat, const int64_t* tok_offsets,
+                     int32_t* out, int32_t n_threads) {
+  if (n_threads < 2 || n_occ < (1 << 18)) {
+    return wp_expand(occ_unique, n_occ, tok_flat, tok_offsets, out);
+  }
+  const int64_t mid = n_occ / 2;
+  const int64_t total1 = wp_expand_total(occ_unique, mid, tok_offsets);
+  static thread_local HalfWorker worker;
+  int64_t n2 = 0;
+  worker.run([&] {
+    n2 = wp_expand(occ_unique + mid, n_occ - mid, tok_flat, tok_offsets,
+                   out + total1);
+  });
+  int64_t n1 = 0;
+  if (mid > 0) {
+    for (int64_t i = 0; i < mid - 1; i++) {
+      const int32_t u = occ_unique[i];
+      const int64_t b = tok_offsets[u];
+      const int64_t c = tok_offsets[u + 1] - b;
+      std::memcpy(out + n1, tok_flat + b, 8);
+      if (c > 2) {
+        for (int64_t j = 2; j < c; j++) out[n1 + j] = tok_flat[b + j];
+      }
+      n1 += c;
+    }
+    const int32_t u = occ_unique[mid - 1];
+    const int64_t b = tok_offsets[u];
+    const int64_t c = tok_offsets[u + 1] - b;
+    for (int64_t j = 0; j < c; j++) out[n1 + j] = tok_flat[b + j];
+    n1 += c;
+  }
+  worker.wait();
+  return n1 + n2;
 }
 
 // Verify emitted tokens against the vocabulary strings (hash-collision
