@@ -162,15 +162,24 @@ def main() -> int:
 
     t_start = time.time()
     results = []
-    # Secondary metrics first (the driver's primary parse reads the LAST
-    # line).  Each is best-effort: a failure prints a diagnostic but does
-    # not sink the primary metric.
+    # PRIMARY FIRST: it must run on a fresh process (no allocator or
+    # device-state wear from earlier runs — BENCH_r03's primary ran last,
+    # after four secondary benches, and regressed 19% vs r02 where the
+    # secondaries were budget-skipped).  It is still PRINTED last (the
+    # driver parses the last line).
+    primary = run_one(args.engine, "en", args.size, args.iters, args.verbose)
+    # Secondary metrics: best-effort — a failure prints a diagnostic but
+    # does not sink the primary metric.
     if not args.no_secondary:
         # Cheapest first: the fast/<lang> runs reuse the fast engine's
-        # compiled programs and finish in seconds; linear/en compiles a
-        # fresh SA program and can eat most of the budget — it must not
-        # starve the multilingual rows (BENCH_r02 lost them that way).
-        secondary = [("fast", "ru"), ("fast", "ja"), ("fast", "zh"), ("linear", "en")]
+        # compiled programs and finish in seconds; linear compiles a
+        # fresh SA program per shape and can eat most of the budget — it
+        # must not starve the multilingual rows (BENCH_r02 lost them that
+        # way).
+        secondary = [
+            ("fast", "ru"), ("fast", "ja"), ("fast", "zh"),
+            ("linear", "en"), ("linear", "ru"), ("linear", "ja"), ("linear", "zh"),
+        ]
         for engine, lang in secondary:
             if engine == args.engine and lang == "en":
                 continue
@@ -185,7 +194,6 @@ def main() -> int:
             except Exception as e:  # pragma: no cover - diagnostics only
                 print(f"# secondary {engine}/{lang} failed: {e}", file=sys.stderr)
 
-    primary = run_one(args.engine, "en", args.size, args.iters, args.verbose)
     results.append(primary)
     for r in results:
         print(json.dumps(r))

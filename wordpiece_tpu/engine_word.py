@@ -506,12 +506,15 @@ class WordEncoder:
                 session.close()
 
     # Small first-seen batches encode on the native host oracle instead of
-    # paying a device round trip (the tunnel's ~20ms buys >>10k scalar
-    # units).  Applied only after the session's first device dispatch so
+    # paying a device round trip (the tunnel's ~24ms latency + kernel +
+    # D2H is a ~40ms stall; the host scalar path does 16k units in ~7ms).
+    # Applied only after the session's first device dispatch so
     # single-chunk encodes (and the kernel test suite) always exercise the
-    # device kernels; in the pipeline this is the Zipf tail — later chunks
-    # introduce a few hundred novel units each.
-    SCALAR_MAX_NEW = 4096
+    # device kernels; in the pipeline this is the Zipf tail.  16384 (vs
+    # the old 4096) matters for ru/ja/zh: their chunk-2 new-unit counts
+    # (5.6-6.8k on the 10MB bench corpora) were just over 4096 and paid a
+    # second device round trip that en (3.9k) skipped.
+    SCALAR_MAX_NEW = 16384
 
     # -- host orchestration ------------------------------------------------
     def _prepare_chunk(
