@@ -87,6 +87,33 @@ inline bool is_spacing_cp(uint32_t c) {
   return is_space_cp(c) || is_punct_cp(c) || is_chinese_cp(c);
 }
 
+// BMP codepoint-class LUT: bit0 space, bit1 punct, bit2 chinese.  One
+// 64KB table load replaces the ~20-compare chain above in the multibyte
+// scan path — kana/kanji-dense corpora classify every char.  Supplement
+// (not ground truth): built FROM the is_*_cp predicates, so the A/B
+// conformance tests on those predicates cover it.
+inline const uint8_t* cp_class_table() {
+  static uint8_t t[0x10000];
+  static const bool init = [] {
+    for (uint32_t c = 0; c < 0x10000; c++) {
+      uint8_t v = 0;
+      if (is_space_cp(c)) v |= 1;
+      if (is_punct_cp(c)) v |= 2;
+      if (is_chinese_cp(c)) v |= 4;
+      t[c] = v;
+    }
+    return true;
+  }();
+  (void)init;
+  return t;
+}
+
+// Class bits for any codepoint (above the BMP only the CJK extension
+// ranges classify; space/punct are all < 0x10000).
+inline uint8_t cp_class(uint32_t c) {
+  return c < 0x10000 ? cp_class_table()[c] : (is_chinese_cp(c) ? 4 : 0);
+}
+
 struct Key {
   const uint32_t* data;
   int32_t len;
@@ -373,6 +400,13 @@ inline bool unit_eq(const uint8_t* a, const uint8_t* b, int32_t len) {
   return true;
 }
 
+// unit_eq for len < 8 when BOTH pointers have >= 8 readable bytes (callers
+// check their buffer ends): one masked 8-byte compare, no per-byte loop.
+inline bool unit_eq8(const uint8_t* a, const uint8_t* b, int32_t len) {
+  const uint64_t m = ~0ull >> ((8 - len) * 8);
+  return ((load64(a) ^ load64(b)) & m) == 0;
+}
+
 // Hash the unit bytes at data[start .. start+len).  Word-at-a-time (the
 // scalar FNV chain was the old hot spot); `size` bounds a full-width load
 // near the buffer end.  Collisions are harmless: the dedupe table always
@@ -560,91 +594,127 @@ class HalfWorker {
 
 namespace {
 
-// Scan the next unit at or after *pi.  On success advances *pi past the
-// unit and fills (start, klen, cplen); returns false at end of data.
+// Scan cursor: position plus a one-codepoint carry.  When a unit ends
+// because the next char decodes to a spacing codepoint, that decode is
+// NOT thrown away — it is carried into the next scan_unit call, which
+// would otherwise re-decode the same bytes (every char of a dense CJK
+// run was decoded twice before this).
+struct ScanCur {
+  int64_t i = 0;
+  int64_t carry_len = 0;  // 0 = no carry; else bytes of the cp at `i`
+  uint8_t carry_cls = 0;  // its cp_class bits (always nonzero if carried)
+};
+
+// Scan the next unit at or after cur->i.  On success advances the cursor
+// past the unit and fills (start, klen, cplen); returns false at end.
 inline bool scan_unit(const uint8_t* data, int64_t size, const ClassMasks& cm,
-                      int64_t* pi, int64_t* out_start, int32_t* out_klen,
+                      ScanCur* cur, int64_t* out_start, int32_t* out_klen,
                       int32_t* out_cplen) {
-  int64_t i = *pi;
-  while (i < size) {
-    const int64_t w0 = i >> 6;
-    const uint64_t bit0 = 1ull << (i & 63);
-    if (cm.space[w0] & bit0) {  // ASCII space run: bit-skip
-      i = next_clear_bit(cm.space, i);
-      continue;
-    }
-    int64_t start;
-    int32_t cplen;
-    if (!(cm.delim[w0] & bit0)) {
-      // ASCII word start: the run ends at the next delim bit.
-      start = i;
-      i = next_set_bit(cm.delim, i);
-      cplen = static_cast<int32_t>(i - start);
-      if (i < size && ((cm.nonascii[i >> 6] >> (i & 63)) & 1)) {
-        // Mixed multi-byte run: continue with full decoding.
-        while (i < size) {
-          int64_t c2;
-          uint32_t cp2 = decode_one(data + i, size - i, &c2);
-          if (cp2 == kInvalid) {
-            i += c2;  // invalid bytes vanish; they do not delimit units
-            continue;
-          }
-          if (is_spacing_cp(cp2)) break;
-          i += c2;
-          cplen++;
-        }
+  int64_t i = cur->i;
+  int64_t clen = cur->carry_len;
+  const uint8_t ccls = cur->carry_cls;
+  cur->carry_len = 0;
+  int64_t start;
+  int32_t cplen;
+
+  // Shared continuation: extend a unit over ASCII word bytes (bit-skip)
+  // and non-spacing multibyte chars; invalid bytes vanish; a spacing
+  // char ends the unit and is carried to the next call.
+  const auto run_continuation = [&](int64_t j, int32_t* pcpl) {
+    int32_t cpl = *pcpl;
+    while (j < size) {
+      const uint64_t b = 1ull << (j & 63);
+      if (!(cm.delim[j >> 6] & b)) {  // ASCII word bytes: bit-skip
+        const int64_t e = next_set_bit(cm.delim, j);
+        cpl += static_cast<int32_t>(e - j);
+        j = e;
+        continue;
       }
-    } else if (!((cm.nonascii[w0] >> (i & 63)) & 1)) {
-      // ASCII punct: a unit by itself.
-      start = i;
-      cplen = 1;
-      i++;
-    } else {
-      // Multi-byte (or invalid) first char: full decode.
-      int64_t consumed;
-      uint32_t cp = decode_one(data + i, size - i, &consumed);
-      if (cp == kInvalid || is_space_cp(cp)) {
+      if (!(cm.nonascii[j >> 6] & b)) break;  // ASCII space/punct delimits
+      int64_t c2;
+      const uint32_t cp2 = decode_one(data + j, size - j, &c2);
+      if (cp2 == kInvalid) {
+        j += c2;  // invalid bytes vanish; they do not delimit units
+        continue;
+      }
+      const uint8_t cls2 = cp_class(cp2);
+      if (cls2) {  // spacing char ends the unit; carry its decode
+        cur->carry_len = c2;
+        cur->carry_cls = cls2;
+        break;
+      }
+      j += c2;
+      cpl++;
+    }
+    *pcpl = cpl;
+    return j;
+  };
+
+  while (i < size) {
+    if (clen) {
+      // Carried spacing char at i (space, punct, or CJK).
+      const uint8_t cls = ccls;
+      const int64_t consumed = clen;
+      clen = 0;
+      if (cls & 1) {  // space (U+2581): skip
         i += consumed;
         continue;
       }
       start = i;
-      cplen = 0;
-      if (is_punct_cp(cp)) {
+      i += consumed;
+      cplen = 1;
+      if (cls & 4) i = run_continuation(i, &cplen);  // CJK glues forward
+      // punct: a unit by itself
+    } else {
+      const int64_t w0 = i >> 6;
+      const uint64_t bit0 = 1ull << (i & 63);
+      if (cm.space[w0] & bit0) {  // ASCII space run: bit-skip
+        i = next_clear_bit(cm.space, i);
+        continue;
+      }
+      if (!(cm.delim[w0] & bit0)) {
+        // ASCII word start: the run ends at the next delim bit.
+        start = i;
+        i = next_set_bit(cm.delim, i);
+        cplen = static_cast<int32_t>(i - start);
+        if (i < size && ((cm.nonascii[i >> 6] >> (i & 63)) & 1)) {
+          i = run_continuation(i, &cplen);  // mixed multi-byte run
+        }
+      } else if (!((cm.nonascii[w0] >> (i & 63)) & 1)) {
+        // ASCII punct: a unit by itself.
+        start = i;
+        cplen = 1;
+        i++;
+      } else {
+        // Multi-byte (or invalid) first char: full decode.
+        int64_t consumed;
+        const uint32_t cp = decode_one(data + i, size - i, &consumed);
+        if (cp == kInvalid) {
+          i += consumed;
+          continue;
+        }
+        const uint8_t cls = cp_class(cp);
+        if (cls & 1) {  // space: skip
+          i += consumed;
+          continue;
+        }
+        start = i;
         i += consumed;
         cplen = 1;
-      } else {
-        if (is_chinese_cp(cp)) {
-          i += consumed;  // leading CJK char joins the following run
-          cplen = 1;
+        if (!(cls & 2)) {
+          // CJK or plain multibyte letter: extend over the following run.
+          i = run_continuation(i, &cplen);
         }
-        while (i < size) {
-          const uint64_t b = 1ull << (i & 63);
-          if (!(cm.delim[i >> 6] & b)) {  // ASCII word bytes: bit-skip
-            const int64_t e = next_set_bit(cm.delim, i);
-            cplen += static_cast<int32_t>(e - i);
-            i = e;
-            continue;
-          }
-          if (!(cm.nonascii[i >> 6] & b)) break;  // ASCII space/punct delimits
-          int64_t c2;
-          uint32_t cp2 = decode_one(data + i, size - i, &c2);
-          if (cp2 == kInvalid) {
-            i += c2;
-            continue;
-          }
-          if (is_spacing_cp(cp2)) break;
-          i += c2;
-          cplen++;
-        }
+        // punct: a unit by itself
       }
     }
-    *pi = i;
+    cur->i = i;
     *out_start = start;
     *out_klen = static_cast<int32_t>(i - start);
     *out_cplen = cplen;
     return true;
   }
-  *pi = i;
+  cur->i = i;
   return false;
 }
 
@@ -660,58 +730,67 @@ int64_t wp_segment_dedupe(const uint8_t* data, int64_t size,
   seen.reset(1 << 16);
   int64_t n_occ = 0;
   int64_t n_uniq = 0;
-  int64_t i = 0;
 
-  // 1-deep software pipeline: while probing unit k the table slot of
-  // unit k+1 is already being prefetched (the probe's L2 miss overlaps
-  // the next boundary scan + hash).
-  int64_t start, nstart;
-  int32_t klen, cplen, nklen, ncplen;
-  uint64_t h = 0, nh = 0;
-  bool have = scan_unit(data, size, cm, &i, &start, &klen, &cplen);
-  if (have) {
-    h = hash_unit(data, start, klen, size);
-    __builtin_prefetch(&seen.t[static_cast<size_t>(h) & seen.mask]);
-  }
-  while (have) {
-    const bool have_next = scan_unit(data, size, cm, &i, &nstart, &nklen, &ncplen);
-    if (have_next) {
-      nh = hash_unit(data, nstart, nklen, size);
-      __builtin_prefetch(&seen.t[static_cast<size_t>(nh) & seen.mask]);
+  // Batched software pipeline: scan+hash a block of units (prefetching
+  // each unit's table slot as its hash lands), THEN probe the block.
+  // The prefetch-to-probe distance is a whole block of scan work, so the
+  // probe's L2/L3 miss is fully overlapped (the old 1-deep pipeline gave
+  // it only one unit's scan time).
+  constexpr int B = 64;
+  int64_t bs[B];
+  int32_t bl[B], bcp[B];
+  uint64_t bh[B];
+  ScanCur cur;
+  bool done = false;
+  while (!done) {
+    int nb = 0;
+    while (nb < B) {
+      int64_t start;
+      int32_t klen, cplen;
+      if (!scan_unit(data, size, cm, &cur, &start, &klen, &cplen)) {
+        done = true;
+        break;
+      }
+      const uint64_t h = hash_unit(data, start, klen, size);
+      __builtin_prefetch(&seen.t[static_cast<size_t>(h) & seen.mask]);
+      bs[nb] = start;
+      bl[nb] = klen;
+      bcp[nb] = cplen;
+      bh[nb] = h;
+      nb++;
     }
-    size_t b = static_cast<size_t>(h) & seen.mask;
-    int32_t uid = -1;
-    while (seen.t[b].uid >= 0) {
-      if (seen.t[b].hash == h) {
-        const int32_t cand = seen.t[b].uid;
-        if (uniq_len[cand] == klen &&
-            unit_eq(data + uniq_start[cand], data + start, klen)) {
-          uid = cand;
-          break;
+    for (int k = 0; k < nb; k++) {
+      const uint64_t h = bh[k];
+      const int64_t start = bs[k];
+      const int32_t klen = bl[k];
+      const bool f8 = klen < 8 && start + 8 <= size;
+      size_t b = static_cast<size_t>(h) & seen.mask;
+      int32_t uid = -1;
+      while (seen.t[b].uid >= 0) {
+        if (seen.t[b].hash == h) {
+          const int32_t cand = seen.t[b].uid;
+          if (uniq_len[cand] == klen &&
+              ((f8 && uniq_start[cand] + 8 <= size)
+                   ? unit_eq8(data + uniq_start[cand], data + start, klen)
+                   : unit_eq(data + uniq_start[cand], data + start, klen))) {
+            uid = cand;
+            break;
+          }
         }
+        b = (b + 1) & seen.mask;
       }
-      b = (b + 1) & seen.mask;
-    }
-    if (uid < 0) {
-      uid = static_cast<int32_t>(n_uniq);
-      uniq_start[n_uniq] = start;
-      uniq_len[n_uniq] = klen;
-      uniq_cplen[n_uniq] = cplen;
-      n_uniq++;
-      seen.t[b].hash = h;
-      seen.t[b].uid = uid;
-      if (static_cast<size_t>(n_uniq) * 2 > seen.mask) {
-        seen.grow();
-        if (have_next)
-          __builtin_prefetch(&seen.t[static_cast<size_t>(nh) & seen.mask]);
+      if (uid < 0) {
+        uid = static_cast<int32_t>(n_uniq);
+        uniq_start[n_uniq] = start;
+        uniq_len[n_uniq] = klen;
+        uniq_cplen[n_uniq] = bcp[k];
+        n_uniq++;
+        seen.t[b].hash = h;
+        seen.t[b].uid = uid;
+        if (static_cast<size_t>(n_uniq) * 2 > seen.mask) seen.grow();
       }
+      occ_unique[n_occ++] = uid;
     }
-    occ_unique[n_occ++] = uid;
-    start = nstart;
-    klen = nklen;
-    cplen = ncplen;
-    h = nh;
-    have = have_next;
   }
   *n_unique_out = n_uniq;
   return n_occ;
@@ -890,76 +969,92 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
   const int64_t* astart = s->astart.data();
   const int32_t* alen = s->alen.data();
 
-  int64_t i = 0;
-  int64_t start, nstart;
-  int32_t klen, cplen, nklen, ncplen;
-  uint64_t h = 0, nh = 0;
   int64_t n = 0;
-  // 1-deep software pipeline (as in wp_segment_dedupe): prefetch unit
-  // k+1's session slot while probing unit k.
-  bool have = scan_unit(data + off, len, cm, &i, &start, &klen, &cplen);
-  if (have) {
-    start += off;
-    h = hash_unit(data, start, klen, total_size);
-    __builtin_prefetch(&slots[static_cast<size_t>(h) & smask]);
-  }
-  while (have) {
-    const bool have_next =
-        scan_unit(data + off, len, cm, &i, &nstart, &nklen, &ncplen);
-    if (have_next) {
-      nstart += off;
-      nh = hash_unit(data, nstart, nklen, total_size);
-      __builtin_prefetch(&slots[static_cast<size_t>(nh) & smask]);
-    }
-    // Session probe (read-only).
-    size_t b = static_cast<size_t>(h) & smask;
-    int32_t uid = -1;
-    while (slots[b].uid >= 0) {
-      const int32_t cand = slots[b].uid;
-      if (slots[b].hash == h && alen[static_cast<size_t>(cand)] == klen &&
-          unit_eq(arena + astart[static_cast<size_t>(cand)], data + start,
-                  klen)) {
-        uid = cand;
+  // Batched software pipeline (as in wp_segment_dedupe): scan+hash a
+  // block of units, prefetching each unit's session slot as its hash
+  // lands, then probe the block — a whole block of scan work hides each
+  // probe's cache miss.
+  constexpr int B = 64;
+  int64_t bs[B];
+  int32_t bl[B], bcp[B];
+  uint64_t bh[B];
+  ScanCur cur;
+  bool done = false;
+  while (!done) {
+    int nb = 0;
+    while (nb < B) {
+      int64_t start;
+      int32_t klen, cplen;
+      if (!scan_unit(data + off, len, cm, &cur, &start, &klen, &cplen)) {
+        done = true;
         break;
       }
-      b = (b + 1) & smask;
+      start += off;
+      const uint64_t h = hash_unit(data, start, klen, total_size);
+      __builtin_prefetch(&slots[static_cast<size_t>(h) & smask]);
+      bs[nb] = start;
+      bl[nb] = klen;
+      bcp[nb] = cplen;
+      bh[nb] = h;
+      nb++;
     }
-    if (uid >= 0) {
-      occ[n] = uid;
-    } else {
-      // Pending-local dedupe.
-      size_t pb = static_cast<size_t>(h) & ps->pend.mask;
-      int32_t pid = -1;
-      while (ps->pend.t[pb].uid >= 0) {
-        const int32_t cand = ps->pend.t[pb].uid;
-        if (ps->pend.t[pb].hash == h &&
-            ps->plen[static_cast<size_t>(cand)] == klen &&
-            unit_eq(data + ps->pstart[static_cast<size_t>(cand)],
-                    data + start, klen)) {
-          pid = cand;
+    for (int k = 0; k < nb; k++) {
+      const uint64_t h = bh[k];
+      const int64_t start = bs[k];
+      const int32_t klen = bl[k];
+      // Arena units carry an 8-byte pad (see merge_pend), so only the
+      // corpus side needs a bounds check for the masked 8-byte compare.
+      const bool f8 = klen < 8 && start + 8 <= total_size;
+      // Session probe (read-only).
+      size_t b = static_cast<size_t>(h) & smask;
+      int32_t uid = -1;
+      while (slots[b].uid >= 0) {
+        const int32_t cand = slots[b].uid;
+        if (slots[b].hash == h && alen[static_cast<size_t>(cand)] == klen &&
+            (f8 ? unit_eq8(arena + astart[static_cast<size_t>(cand)],
+                           data + start, klen)
+                : unit_eq(arena + astart[static_cast<size_t>(cand)],
+                          data + start, klen))) {
+          uid = cand;
           break;
         }
-        pb = (pb + 1) & ps->pend.mask;
+        b = (b + 1) & smask;
       }
-      if (pid < 0) {
-        pid = static_cast<int32_t>(ps->pstart.size());
-        ps->pstart.push_back(start);
-        ps->plen.push_back(klen);
-        ps->pcplen.push_back(cplen);
-        ps->phash.push_back(h);
-        ps->pend.t[pb].hash = h;
-        ps->pend.t[pb].uid = pid;
-        if (ps->pstart.size() * 2 > ps->pend.mask) ps->pend.grow();
+      if (uid >= 0) {
+        occ[n] = uid;
+      } else {
+        // Pending-local dedupe.
+        size_t pb = static_cast<size_t>(h) & ps->pend.mask;
+        int32_t pid = -1;
+        while (ps->pend.t[pb].uid >= 0) {
+          const int32_t cand = ps->pend.t[pb].uid;
+          if (ps->pend.t[pb].hash == h &&
+              ps->plen[static_cast<size_t>(cand)] == klen &&
+              ((f8 && ps->pstart[static_cast<size_t>(cand)] + 8 <= total_size)
+                   ? unit_eq8(data + ps->pstart[static_cast<size_t>(cand)],
+                              data + start, klen)
+                   : unit_eq(data + ps->pstart[static_cast<size_t>(cand)],
+                             data + start, klen))) {
+            pid = cand;
+            break;
+          }
+          pb = (pb + 1) & ps->pend.mask;
+        }
+        if (pid < 0) {
+          pid = static_cast<int32_t>(ps->pstart.size());
+          ps->pstart.push_back(start);
+          ps->plen.push_back(klen);
+          ps->pcplen.push_back(bcp[k]);
+          ps->phash.push_back(h);
+          ps->pend.t[pb].hash = h;
+          ps->pend.t[pb].uid = pid;
+          if (ps->pstart.size() * 2 > ps->pend.mask) ps->pend.grow();
+        }
+        occ[n] = -pid - 1;
+        ps->fix_pos.push_back(n);
       }
-      occ[n] = -pid - 1;
-      ps->fix_pos.push_back(n);
+      n++;
     }
-    n++;
-    start = nstart;
-    klen = nklen;
-    cplen = ncplen;
-    h = nh;
-    have = have_next;
   }
   ps->n_occ = n;
 }
@@ -1064,6 +1159,9 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
         s->astart.push_back(static_cast<int64_t>(s->arena.size()));
         s->alen.push_back(len);
         s->arena.insert(s->arena.end(), data + start, data + start + len);
+        // 8-byte pad after every unit: probes may use the masked 8-byte
+        // compare (unit_eq8) on the arena side without a bounds check.
+        s->arena.insert(s->arena.end(), 8, 0);
         s->table.t[b].hash = h;
         s->table.t[b].uid = found;
         if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask) s->table.grow();
