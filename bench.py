@@ -8,8 +8,9 @@ English) is always the LAST line:
 Baselines are the reference's published numbers (benchmark.md:9-14;
 BASELINE.md): fast tokenizes 10 MB in 0.1 s en/ja/zh and 0.2 s ru at 8
 CPU threads; linear takes 0.8 s for 10 MB en.  The comparison corpus is
-a deterministic synthetic text per language with a 30k WordPiece vocab
-(no network for the Wikipedia dumps).
+a deterministic synthetic text per language with a bert-base-cased-shaped
+28,996-entry WordPiece vocab (no network for the Wikipedia dumps or the
+real vocab.txt; --vocab synthetic selects the pre-r04 30k generator).
 
 Before timing, every engine's output on a ~100 KB prefix is diffed
 against the native scalar oracle — a garbage id stream fails the bench
@@ -72,14 +73,23 @@ def _check_vs_oracle(enc, vocab, corpus: bytes, verbose: bool) -> None:
         )
 
 
-def run_one(engine: str, lang: str, size_mb: float, iters: int, verbose: bool) -> dict:
+def run_one(
+    engine: str, lang: str, size_mb: float, iters: int, verbose: bool,
+    vocab_kind: str = "bert",
+) -> dict:
     from wordpiece_tpu.api import make_encoder
-    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab, make_vocab_bert
     from wordpiece_tpu.core.vocab import parse_vocab
 
     size_bytes = int(size_mb * 1_000_000)
     corpus = make_corpus(size_bytes, lang=lang)
-    vocab = parse_vocab(make_vocab(corpus))
+    # Default workload vocab: bert-base-cased-shaped 28,996 entries (the
+    # reference benches the real bert-base-cased, README.md:47);
+    # --vocab synthetic keeps the pre-r04 30k generator for continuity.
+    vocab_lines = (
+        make_vocab_bert(corpus) if vocab_kind == "bert" else make_vocab(corpus)
+    )
+    vocab = parse_vocab(vocab_lines)
     enc = make_encoder(vocab, engine=engine)
     if verbose and hasattr(enc, "stats"):
         from wordpiece_tpu.utils.profiling import StageStats
@@ -142,6 +152,11 @@ def main() -> int:
         help="soft wall-clock budget (s) for the secondary metrics",
     )
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument(
+        "--vocab", default="bert", choices=["bert", "synthetic"],
+        help="workload vocab: bert-base-cased-shaped 29k (default) or the "
+        "pre-r04 synthetic 30k",
+    )
     args = ap.parse_args()
 
     # Persistent compile cache: the driver re-runs this across rounds; the
@@ -167,7 +182,7 @@ def main() -> int:
     # after four secondary benches, and regressed 19% vs r02 where the
     # secondaries were budget-skipped).  It is still PRINTED last (the
     # driver parses the last line).
-    primary = run_one(args.engine, "en", args.size, args.iters, args.verbose)
+    primary = run_one(args.engine, "en", args.size, args.iters, args.verbose, args.vocab)
     # Secondary metrics: best-effort — a failure prints a diagnostic but
     # does not sink the primary metric.
     if not args.no_secondary:
@@ -190,7 +205,7 @@ def main() -> int:
                 )
                 continue
             try:
-                results.append(run_one(engine, lang, args.size, max(2, args.iters // 2), args.verbose))
+                results.append(run_one(engine, lang, args.size, max(2, args.iters // 2), args.verbose, args.vocab))
             except Exception as e:  # pragma: no cover - diagnostics only
                 print(f"# secondary {engine}/{lang} failed: {e}", file=sys.stderr)
 

@@ -49,7 +49,7 @@ def test_stream_engine_conformance(corpora, lang):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("lang", ["en"])
+@pytest.mark.parametrize("lang", ["en", "ru", "ja", "zh"])
 def test_linear_engine_conformance(corpora, lang):
     from wordpiece_tpu.engine_linear import LinearEncoder
 

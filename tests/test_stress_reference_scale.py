@@ -15,8 +15,10 @@ against it, in two regimes:
     paths end to end: dedupe sessions across pipeline chunks, SA batch
     boundaries, UNK-heavy negative tails).
 
-All tests are deterministic (fixed seeds, reference's mt19937(17) spirit)
-and marked slow.
+All tests are deterministic (fixed seeds, reference's mt19937(17) spirit).
+Tiers: the 1-2M-char shapes run in the default suite (~1 min on the
+2-vCPU CI host); the full 10M reference scale stays behind -m slow
+(several minutes each).
 """
 
 from __future__ import annotations
@@ -27,8 +29,6 @@ import pytest
 from wordpiece_tpu.core import unicode as uni
 from wordpiece_tpu.core.vocab import parse_vocab
 from wordpiece_tpu.runtime import loader
-
-pytestmark = pytest.mark.slow
 
 if not loader.available():  # pragma: no cover
     pytest.skip("native runtime required for oracle-scale stress", allow_module_level=True)
@@ -73,7 +73,13 @@ def _diff(got: np.ndarray, want: np.ndarray, label: str) -> None:
         )
 
 
-@pytest.mark.parametrize("text_len,parts", [(1_000_000, 30_000), (10_000_000, 30_000)])
+@pytest.mark.parametrize(
+    "text_len,parts",
+    [
+        (1_000_000, 30_000),
+        pytest.param(10_000_000, 30_000, marks=pytest.mark.slow),
+    ],
+)
 def test_reference_shape_single_unit(text_len, parts):
     """Regime 1: the exact reference stress shape (one space-free unit)."""
     from wordpiece_tpu.api import make_encoder
@@ -139,15 +145,23 @@ def _spaced_corpus_and_vocab(rng: np.random.Generator, size_chars: int):
     return text, sorted(pieces)
 
 
-def test_spaced_10M_device_paths():
-    """Regime 2: 10M chars with spaces, ~30k-token vocab; both device
+@pytest.mark.parametrize(
+    "size_chars",
+    [
+        2_000_000,
+        pytest.param(10_000_000, marks=pytest.mark.slow),
+    ],
+)
+def test_spaced_device_paths(size_chars):
+    """Regime 2: spaced text with a ~30k-token vocab; both device
     engines (pipelined word engine + SA batches) vs the oracle, positive
-    and negative."""
+    and negative.  2M chars is the default-suite tier; 10M (the exact
+    reference scale) is the slow tier."""
     from wordpiece_tpu.api import make_encoder
     from wordpiece_tpu.engine_linear import LinearEncoder
 
     rng = np.random.default_rng(17)
-    text, vocab_lines = _spaced_corpus_and_vocab(rng, 10_000_000)
+    text, vocab_lines = _spaced_corpus_and_vocab(rng, size_chars)
     assert len(vocab_lines) >= 25_000
     data = text.encode()
     for positive in (True, False):
@@ -161,10 +175,10 @@ def test_spaced_10M_device_paths():
         vocab = parse_vocab(lines)
         want = _oracle_ids(vocab, data)
         fast = make_encoder(vocab, engine="fast")
-        _diff(fast.encode_bytes(data), want, f"fast spaced 10M pos={positive}")
+        _diff(fast.encode_bytes(data), want, f"fast spaced {size_chars} pos={positive}")
         lin = LinearEncoder(vocab)
         assert lin.max_len <= lin.MAX_SLOT_LEN  # device path engages
-        _diff(lin.encode_bytes(data), want, f"linear spaced 10M pos={positive}")
+        _diff(lin.encode_bytes(data), want, f"linear spaced {size_chars} pos={positive}")
 
 
 def test_reference_mid_scale_matrix():

@@ -104,6 +104,85 @@ def make_corpus(size_bytes: int, seed: int = 17, lang: str = "en") -> bytes:
     return data
 
 
+def make_vocab_bert(corpus: bytes, vocab_size: int = 28996, seed: int = 17) -> list[str]:
+    """bert-base-cased-SHAPED WordPiece vocab from corpus substrings.
+
+    The reference benches with the real bert-base-cased vocab.txt
+    (reference README.md:47); this zero-egress environment cannot fetch
+    it, so this generator matches its published shape instead: 28,996
+    entries, 5 specials + 100 [unusedN] slots, every single character of
+    the corpus in bare and ## form, a ~22% ##-continuation fraction, and
+    per-length quotas approximating bert's token-length histogram
+    (prefix tokens peaked at 4-8 chars, ## tokens skewed short).  Piece
+    CONTENT is still corpus-driven (greedy by frequency, like
+    make_vocab) so probe hit rates are realistic.
+    """
+    key = f"vocabbert_{vocab_size}_{seed}_{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    path = _cache_path(key)
+    if os.path.exists(path):
+        with open(path, "r", encoding="utf-8") as f:
+            return f.read().splitlines()
+
+    text = corpus.decode("utf-8", errors="ignore")
+    words = Counter()
+    for line in text.splitlines()[:200000]:
+        for w in line.replace(",", " ").replace(".", " ").replace("!", " ").replace(
+            "?", " "
+        ).replace(";", " ").replace(":", " ").replace("-", " ").split():
+            words[w] += 1
+
+    pieces: Counter = Counter()
+    for w, c in words.items():
+        for l in range(1, min(len(w), 18) + 1):
+            pieces[w[:l]] += c
+        for st in range(1, len(w)):
+            for l in range(1, min(len(w) - st, 14) + 1):
+                pieces["##" + w[st : st + l]] += c / 4
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab += [f"[unused{i}]" for i in range(100)]
+    vocab += [",", ".", "!", "?", ";", "-", ":", "'", '"', "(", ")", "/"]
+    chars = sorted({ch for ch in text if not ch.isspace()})
+    vocab += chars + ["##" + ch for ch in chars]
+    seen = set(vocab)
+
+    # Approximate bert-base-cased per-length shares (len 1..14+).
+    prefix_hist = [0.02, 0.04, 0.08, 0.12, 0.14, 0.14, 0.13, 0.11,
+                   0.08, 0.06, 0.04, 0.02, 0.01, 0.01]
+    cont_hist = [0.15, 0.25, 0.20, 0.15, 0.10, 0.07, 0.04, 0.02,
+                 0.01, 0.005, 0.005, 0.0, 0.0, 0.0]
+    remaining = vocab_size - len(vocab)
+    n_cont = int(remaining * 0.22)
+    n_prefix = remaining - n_cont
+    quota: dict[tuple[bool, int], int] = {}
+    for l in range(1, 15):
+        quota[(False, l)] = int(n_prefix * prefix_hist[l - 1])
+        quota[(True, l)] = int(n_cont * cont_hist[l - 1])
+
+    ranked = [p for p, _ in pieces.most_common() if p not in seen]
+    spill: list[str] = []
+    for piece in ranked:
+        if len(vocab) >= vocab_size:
+            break
+        is_cont = piece.startswith("##")
+        l = min(len(piece) - (2 if is_cont else 0), 14)
+        if quota.get((is_cont, l), 0) > 0:
+            quota[(is_cont, l)] -= 1
+            vocab.append(piece)
+            seen.add(piece)
+        else:
+            spill.append(piece)
+    # Quota rounding / exhausted-length slack: fill from global order.
+    for piece in spill:
+        if len(vocab) >= vocab_size:
+            break
+        vocab.append(piece)
+        seen.add(piece)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab))
+    return vocab
+
+
 def make_vocab(corpus: bytes, vocab_size: int = 30000, seed: int = 17) -> list[str]:
     """Greedy frequency-based WordPiece-style vocab from corpus substrings."""
     key = f"vocab_{vocab_size}_{seed}_{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"

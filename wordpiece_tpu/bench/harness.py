@@ -66,45 +66,121 @@ def run(langs, size_mb, engines, collect=False, iters=3):
                 with open(f"result_{engine}_{lang}.txt", "w") as f:
                     f.write(" ".join(str(int(i)) for i in ids))
 
-        hf = _try_huggingface(corpus, vocab_lines)
-        if hf is not None:
-            results[lang]["huggingface"] = hf
-        for name, mod in (
-            ("tensorflow-text", "tensorflow_text"),
-            ("torchtext", "torchtext"),
-            ("keras-nlp", "keras_nlp"),
+        # Competitor adapters (reference tests/speed_test.py:34-86), each
+        # import-guarded: absent libraries print an explicit absence line
+        # rather than silently skipping the row.
+        for name, adapter in (
+            ("huggingface", _try_huggingface),
+            ("transformers", _try_transformers),
+            ("tensorflow-text", _try_tensorflow_text),
+            ("torchtext", _try_torchtext),
+            ("keras-nlp", _try_keras_nlp),
         ):
-            # The reference times these (tests/speed_test.py:34-86); this
-            # image does not ship them — record the absence explicitly
-            # rather than silently skipping the row.
             try:
-                __import__(mod)
-                print(
-                    f"[{lang}] {name}: importable but no timing adapter wired",
-                    file=sys.stderr,
-                )
-            except ImportError:
+                dt = adapter(corpus, vocab_lines)
+            except Exception as e:  # pragma: no cover - foreign-lib failure
+                print(f"[{lang}] {name}: failed ({e})", file=sys.stderr)
+                continue
+            if dt is None:
                 print(f"[{lang}] {name}: absent from environment", file=sys.stderr)
+            else:
+                results[lang][name] = dt
 
     return results, counts
 
 
 def _try_huggingface(corpus: bytes, vocab_lines):
+    """HuggingFace `tokenizers` WordPiece (speed_test.py:58-65 analogue)."""
     try:
         from tokenizers import Tokenizer
         from tokenizers.models import WordPiece as HFWordPiece
         from tokenizers.pre_tokenizers import Whitespace
-    except Exception:
+    except ImportError:
         return None
+    tok = Tokenizer(HFWordPiece({w: i for i, w in enumerate(vocab_lines)}, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    text = corpus.decode("utf-8", errors="ignore")
+    t0 = time.time()
+    tok.encode(text)
+    return time.time() - t0
+
+
+def _vocab_file(vocab_lines) -> str:
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".txt", delete=False, encoding="utf-8"
+    )
+    f.write("\n".join(vocab_lines))
+    f.close()
+    return f.name
+
+
+def _try_transformers(corpus: bytes, vocab_lines):
+    """transformers BertTokenizerFast — the torch-ecosystem tokenizer this
+    image actually ships (torchtext's BERTTokenizer is absent)."""
     try:
-        tok = Tokenizer(HFWordPiece({w: i for i, w in enumerate(vocab_lines)}, unk_token="[UNK]"))
-        tok.pre_tokenizer = Whitespace()
-        text = corpus.decode("utf-8", errors="ignore")
-        t0 = time.time()
-        tok.encode(text)
-        return time.time() - t0
-    except Exception:
+        from transformers import BertTokenizerFast
+    except ImportError:
         return None
+    tok = BertTokenizerFast(
+        _vocab_file(vocab_lines), do_lower_case=False, tokenize_chinese_chars=True
+    )
+    text = corpus.decode("utf-8", errors="ignore")
+    t0 = time.time()
+    tok(text, add_special_tokens=False)
+    return time.time() - t0
+
+
+def _try_tensorflow_text(corpus: bytes, vocab_lines):
+    """tensorflow_text BertTokenizer (speed_test.py:35-56 analogue)."""
+    try:
+        import tensorflow as tf
+        from tensorflow_text import BertTokenizer
+    except ImportError:
+        return None
+    table = tf.lookup.StaticVocabularyTable(
+        tf.lookup.KeyValueTensorInitializer(
+            keys=list(vocab_lines),
+            key_dtype=tf.string,
+            values=tf.range(len(vocab_lines), dtype=tf.int64),
+            value_dtype=tf.int64,
+        ),
+        num_oov_buckets=1,
+    )
+    tok = BertTokenizer(table, token_out_type=tf.int64, lower_case=False)
+    text = corpus.decode("utf-8", errors="ignore")
+    t0 = time.time()
+    tok.tokenize(text)
+    return time.time() - t0
+
+
+def _try_torchtext(corpus: bytes, vocab_lines):
+    """torchtext BERTTokenizer (speed_test.py:68-75 analogue)."""
+    try:
+        from torchtext.transforms import BERTTokenizer
+    except ImportError:
+        return None
+    tok = BERTTokenizer(_vocab_file(vocab_lines), do_lower_case=False)
+    text = corpus.decode("utf-8", errors="ignore")
+    t0 = time.time()
+    tok(text)
+    return time.time() - t0
+
+
+def _try_keras_nlp(corpus: bytes, vocab_lines):
+    """keras_nlp WordPieceTokenizer (speed_test.py:78-86 analogue)."""
+    try:
+        import keras_nlp
+    except ImportError:
+        return None
+    tok = keras_nlp.tokenizers.WordPieceTokenizer(
+        vocabulary=list(vocab_lines), lowercase=False
+    )
+    text = corpus.decode("utf-8", errors="ignore")
+    t0 = time.time()
+    tok.tokenize(text)
+    return time.time() - t0
 
 
 def print_table(results, size_mb):
