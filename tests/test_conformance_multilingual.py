@@ -63,6 +63,28 @@ def test_linear_engine_conformance(corpora, lang):
     np.testing.assert_array_equal(got, want)
 
 
+def test_bert_shaped_vocab_conformance(corpora):
+    """The bert-base-cased-shaped bench vocab (bench/corpus.make_vocab_bert)
+    against both device engines.  Regression: an early generator emitted
+    duplicate lines (',' in both the punct and single-char blocks), which
+    are out-of-contract and made linear bind a different id than the
+    oracle."""
+    from wordpiece_tpu.bench.corpus import make_vocab_bert
+    from wordpiece_tpu.engine_linear import LinearEncoder
+    from wordpiece_tpu.engine_word import WordEncoder
+
+    corpus, _ = corpora["en"]
+    lines = make_vocab_bert(corpus, vocab_size=8000)
+    assert len(lines) == len(set(lines)), "duplicate vocab lines"
+    vocab = parse_vocab(lines)
+    cps = uni.decode_utf8(corpus)
+    want = loader.VocabHandle(vocab).encode(cps)
+    np.testing.assert_array_equal(WordEncoder(vocab).encode_bytes(corpus), want)
+    np.testing.assert_array_equal(
+        LinearEncoder(vocab).encode_codepoints(cps.astype(np.int32)), want
+    )
+
+
 def test_python_oracle_agrees_with_native(corpora):
     from wordpiece_tpu.core.oracle import encode_oracle
 

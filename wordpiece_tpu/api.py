@@ -104,14 +104,27 @@ class _EngineNamespace:
     def encode(self, text: str | bytes, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
         """encode(text, vocab) / encode(text_file, vocab_file).
 
-        Like the reference, if `text` names an existing file it is read
-        (the reference has separate overloads; Python dispatches on
-        whether the path exists).
+        WARNING — data-dependent dispatch: mirroring the reference's two
+        overloads (word_piece.hpp:12,14) in one Python entry point, a
+        `str` that names an EXISTING file is read as a file; any other
+        input is encoded literally.  A literal text that happens to
+        collide with a file path would silently encode the file — use
+        ``encode_text`` / ``encode_file`` to pin the interpretation.
         """
         if isinstance(text, str) and os.path.exists(text):
-            raw: bytes = _read_text(text)
-        else:
-            raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+            return self.encode_file(text, vocab)
+        return self.encode_text(text, vocab)
+
+    def encode_text(self, text: str | bytes, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
+        """Encode `text` literally (never interpreted as a path)."""
+        raw = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        return self._encode_raw(raw, vocab)
+
+    def encode_file(self, text_file: str, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
+        """Encode the contents of `text_file` (must exist)."""
+        return self._encode_raw(_read_text(text_file), vocab)
+
+    def _encode_raw(self, raw: bytes, vocab: Sequence[str] | Vocabulary | str) -> list[int]:
         v = _as_vocab(vocab)
         enc = self._encoder(v)
         if hasattr(enc, "encode_bytes"):

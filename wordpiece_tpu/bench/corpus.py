@@ -141,10 +141,18 @@ def make_vocab_bert(corpus: bytes, vocab_size: int = 28996, seed: int = 17) -> l
 
     vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
     vocab += [f"[unused{i}]" for i in range(100)]
-    vocab += [",", ".", "!", "?", ";", "-", ":", "'", '"', "(", ")", "/"]
-    chars = sorted({ch for ch in text if not ch.isspace()})
-    vocab += chars + ["##" + ch for ch in chars]
     seen = set(vocab)
+    # Punct + every corpus single char (bare, plus ## form for non-punct
+    # chars — bert has no ##-punct), deduplicated as we go: duplicate
+    # vocab lines are out-of-contract (the reference's verifyVocab
+    # rejects them, tests/tests.cpp:29-33) and engines may legally bind
+    # different ids for them.
+    punct = [",", ".", "!", "?", ";", "-", ":", "'", '"', "(", ")", "/"]
+    chars = sorted({ch for ch in text if not ch.isspace()})
+    for cand in punct + chars + ["##" + ch for ch in chars if ch not in punct]:
+        if cand not in seen:
+            vocab.append(cand)
+            seen.add(cand)
 
     # Approximate bert-base-cased per-length shares (len 1..14+).
     prefix_hist = [0.02, 0.04, 0.08, 0.12, 0.14, 0.14, 0.13, 0.11,

@@ -158,6 +158,23 @@ def parse_vocab(lines: Sequence[str | bytes]) -> Vocabulary:
     unk_matches = np.nonzero([r == b"[UNK]" for r in raws])[0]
     unk_token_id = int(unk_matches[-1]) if unk_matches.size else -1
 
+    # Duplicate vocab lines are OUT OF CONTRACT: the reference's own
+    # validity guard rejects them (tests/tests.cpp:29-33), its fast
+    # algorithm binds the LAST duplicate (map assignment,
+    # src/fast.cpp:34) while its linear binding is SA-order-dependent —
+    # so engines may legally emit different ids for duplicated strings.
+    # Warn loudly rather than guessing.
+    if len(set(raws)) != len(raws):  # pragma: no cover - invalid input
+        import sys
+
+        dupes = len(raws) - len(set(raws))
+        print(
+            f"wordpiece_tpu: vocabulary has {dupes} duplicate line(s); "
+            "duplicate entries are rejected by the reference's validity "
+            "guard and engines may bind either id for them",
+            file=sys.stderr,
+        )
+
     return Vocabulary(
         flat=flat,
         offsets=offsets,
