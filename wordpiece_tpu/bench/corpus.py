@@ -117,7 +117,14 @@ def make_vocab_bert(corpus: bytes, vocab_size: int = 28996, seed: int = 17) -> l
     CONTENT is still corpus-driven (greedy by frequency, like
     make_vocab) so probe hit rates are realistic.
     """
-    key = f"vocabbert_{vocab_size}_{seed}_{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    # len(corpus) must be part of the key: corpora of different sizes share
+    # their first 64 KB (same rng prefix), but the vocab is built from the
+    # FULL text — without the length, a 10 MB run would silently reuse a
+    # vocab derived from a 1 MB corpus (and vice versa).
+    key = (
+        f"vocabbert_{vocab_size}_{seed}_{len(corpus)}_"
+        f"{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    )
     path = _cache_path(key)
     if os.path.exists(path):
         with open(path, "r", encoding="utf-8") as f:
@@ -193,7 +200,12 @@ def make_vocab_bert(corpus: bytes, vocab_size: int = 28996, seed: int = 17) -> l
 
 def make_vocab(corpus: bytes, vocab_size: int = 30000, seed: int = 17) -> list[str]:
     """Greedy frequency-based WordPiece-style vocab from corpus substrings."""
-    key = f"vocab_{vocab_size}_{seed}_{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    # len(corpus) in the key for the same reason as make_vocab_bert: size
+    # variants share a 64 KB prefix but derive different piece sets.
+    key = (
+        f"vocab_{vocab_size}_{seed}_{len(corpus)}_"
+        f"{hashlib.sha1(corpus[:65536]).hexdigest()[:10]}.txt"
+    )
     path = _cache_path(key)
     if os.path.exists(path):
         with open(path, "r", encoding="utf-8") as f:
