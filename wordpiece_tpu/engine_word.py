@@ -516,6 +516,18 @@ class WordEncoder:
     # second device round trip that en (3.9k) skipped.
     SCALAR_MAX_NEW = 16384
 
+    # Units of <= this many codepoints are encoded by the native scalar
+    # oracle even in device-dispatching chunks.  A 1-2 cp unit's MaxMatch
+    # is one or two host hash probes — shipping it through the tunnel
+    # buys nothing and CJK corpora are DOMINATED by such units (every
+    # kana/kanji glued singleton).  Routing them host-side shrinks the
+    # first chunk's H2D payload and kernel grid to the multi-char units
+    # (en-like words) the crossbar kernel is actually good at: measured
+    # ja first-chunk fetch fell ~35% and zh's device rows fell ~10x on
+    # the 10 MB bench corpora.  Disabled in lockstep mode (the split is
+    # data-dependent; collective entry counts must not be).
+    SCALAR_SMALL_CPLEN = 2
+
     # -- host orchestration ------------------------------------------------
     def _prepare_chunk(
         self, data: bytes, session: loader.DedupeSession, first: bool = True
@@ -528,7 +540,7 @@ class WordEncoder:
         with self._stage("host_segment_dedupe", len(data)):
             occ, nstart, nlen, ncplen = session.segment(data)
         if nstart.shape[0] == 0 and not self.lockstep_dispatch:
-            return (occ, None, None, None, None, None, None)
+            return (occ, None, None, None, None, None, None, None)
         if (
             not first
             and not self.lockstep_dispatch
@@ -538,27 +550,59 @@ class WordEncoder:
                 flat, counts = self._scalar.encode_units(
                     data, nstart, nlen, int(ncplen.sum())
                 )
-            return (occ, nstart, nlen, None, None, None, ("scalar", flat, counts))
+            return (occ, nstart, nlen, None, None, None, ("scalar", flat, counts), None)
+        # Split tiny units (see SCALAR_SMALL_CPLEN) off to the host
+        # oracle; the device program sees only the multi-char units.
+        small = None
+        big_idx = None
+        if not self.lockstep_dispatch:
+            sel = ncplen <= self.SCALAR_SMALL_CPLEN
+            if sel.any():
+                small_idx = np.nonzero(sel)[0]
+                with self._stage("host_scalar_units"):
+                    sflat, scounts = self._scalar.encode_units(
+                        data,
+                        nstart[small_idx],
+                        nlen[small_idx],
+                        int(ncplen[small_idx].sum()),
+                    )
+                small = (small_idx, sflat, scounts.astype(np.int64))
+                big_idx = np.nonzero(~sel)[0]
         with self._stage("host_bucket_fill"):
-            mats, bucket_of, row_of = loader.bucket_fill(
-                data, nstart, nlen, ncplen, list(WIDTHS)
-            )
+            if big_idx is None:
+                mats, bucket_of, row_of = loader.bucket_fill(
+                    data, nstart, nlen, ncplen, list(WIDTHS)
+                )
+            else:
+                mats, b_of, r_of = loader.bucket_fill(
+                    data,
+                    nstart[big_idx],
+                    nlen[big_idx],
+                    ncplen[big_idx],
+                    list(WIDTHS),
+                )
+                # Full-length maps: -1 marks a scalar-routed (small) unit.
+                bucket_of = np.full(nstart.shape[0], -1, dtype=np.int32)
+                row_of = np.zeros(nstart.shape[0], dtype=np.int32)
+                bucket_of[big_idx] = b_of
+                row_of[big_idx] = r_of
         with self._stage("device_dispatch"):
             handle = self._dispatch_buckets(mats)
-        return (occ, nstart, nlen, mats, bucket_of, row_of, handle)
+        return (occ, nstart, nlen, mats, bucket_of, row_of, handle, small)
 
     def _finish_chunk(self, data: bytes, state, store: _TokenStore) -> np.ndarray:
         """Fetch device results for one chunk's NEW units, verify, stitch
         them into the session store, then expand the chunk's occurrence
         stream from the store."""
-        occ, nstart, nlen, mats, bucket_of, row_of, handle = state
+        occ, nstart, nlen, mats, bucket_of, row_of, handle, small = state
         if nstart is not None:
             if isinstance(handle, tuple) and handle[0] == "scalar":
                 _, flat, counts = handle
                 store.append(flat, counts.astype(np.int64))
             else:
                 self._stitch_new_units(
-                    data, nstart, nlen, mats, bucket_of, row_of, handle, store
+                    data, nstart, nlen, mats, bucket_of, row_of, handle, store,
+                    small=small,
                 )
         if occ.shape[0] == 0:
             return np.zeros(0, dtype=np.int32)
@@ -569,8 +613,11 @@ class WordEncoder:
         return out if out is not None else np.zeros(0, np.int32)
 
     def _stitch_new_units(
-        self, data, nstart, nlen, mats, bucket_of, row_of, handle, store
+        self, data, nstart, nlen, mats, bucket_of, row_of, handle, store,
+        small=None,
     ) -> None:
+        """`small`: optional (small_idx, flat, counts) of units encoded by
+        the host oracle (bucket_of == -1 at those uids)."""
         n_new = nstart.shape[0]
         n_buckets = len(WIDTHS)
         with self._stage("device_fetch", len(data)):
@@ -612,7 +659,8 @@ class WordEncoder:
             if overflow_sel.size
             else np.zeros(0, np.int32)
         )
-        tok_flat = np.concatenate(flats + [over_flat])
+        small_flat = small[1] if small is not None else np.zeros(0, np.int32)
+        tok_flat = np.concatenate(flats + [over_flat, small_flat])
 
         counts_u = np.zeros(n_new, dtype=np.int64)
         starts_u = np.zeros(n_new, dtype=np.int64)
@@ -631,6 +679,13 @@ class WordEncoder:
                 starts_u[u] = pos
                 counts_u[u] = c
                 pos += c
+        if small is not None:
+            small_idx, _, scounts = small
+            soffs = np.zeros(scounts.shape[0] + 1, dtype=np.int64)
+            np.cumsum(scounts, out=soffs[1:])
+            sbase = base[n_buckets] + over_flat.shape[0]
+            starts_u[small_idx] = sbase + soffs[:-1]
+            counts_u[small_idx] = scounts
 
         total = int(counts_u.sum())
         order_flat = np.empty(total, dtype=np.int32)

@@ -114,6 +114,51 @@ inline uint8_t cp_class(uint32_t c) {
   return c < 0x10000 ? cp_class_table()[c] : (is_chinese_cp(c) ? 4 : 0);
 }
 
+// First-two-bytes classifier for the scan hot loop: most multibyte
+// chars' class is decided by (lead, cont1) alone.  Entry layout:
+// (consumed << 3) | class bits; 0 = take the full decode_one path.
+//  - 2-byte sequences: the pair IS the codepoint (entry present iff the
+//    pair is valid UTF-8, cp >= 0x80).
+//  - 3-byte sequences: the pair fixes cp >> 6; an entry is present iff
+//    the 64-cp block has ONE class for all members and contains no
+//    surrogate/overlong encodings.  Boundary blocks (0x2040s punct end,
+//    0x4DC0/0x9FC0 CJK edges, U+2581's block, ...) stay 0 -> slow path.
+//    The caller must still verify byte 3 is a continuation byte.
+//  - 4-byte leads: always 0 (rare; full decode).
+// Built FROM decode_one's validity rules + cp_class, so the scalar A/B
+// suite (WP_FORCE_SCALAR) and the random-bytes fuzz cover it.
+inline const uint8_t* pair_class_table() {
+  static uint8_t t[1 << 16];
+  static const bool init = [] {
+    std::memset(t, 0, sizeof(t));
+    for (uint32_t b0 = 0xC2; b0 <= 0xDF; b0++) {
+      for (uint32_t b1 = 0x80; b1 <= 0xBF; b1++) {
+        const uint32_t cp = ((b0 & 0x1Fu) << 6) | (b1 & 0x3Fu);
+        t[(b0 << 8) | b1] = static_cast<uint8_t>((2u << 3) | cp_class(cp));
+      }
+    }
+    for (uint32_t b0 = 0xE0; b0 <= 0xEF; b0++) {
+      for (uint32_t b1 = 0x80; b1 <= 0xBF; b1++) {
+        if (b0 == 0xE0 && b1 < 0xA0) continue;  // overlong
+        const uint32_t base = ((b0 & 0x0Fu) << 12) | ((b1 & 0x3Fu) << 6);
+        if (base >= 0xD800 && base < 0xE000) continue;  // surrogate block
+        const uint8_t cls = cp_class(base);
+        bool uniform = true;
+        for (uint32_t k = 1; k < 64; k++) {
+          if (cp_class(base + k) != cls) {
+            uniform = false;
+            break;
+          }
+        }
+        if (uniform) t[(b0 << 8) | b1] = static_cast<uint8_t>((3u << 3) | cls);
+      }
+    }
+    return true;
+  }();
+  (void)init;
+  return t;
+}
+
 struct Key {
   const uint32_t* data;
   int32_t len;
@@ -620,6 +665,7 @@ inline bool scan_unit(const uint8_t* data, int64_t size, const ClassMasks& cm,
   // Shared continuation: extend a unit over ASCII word bytes (bit-skip)
   // and non-spacing multibyte chars; invalid bytes vanish; a spacing
   // char ends the unit and is carried to the next call.
+  const uint8_t* const pair_cls = pair_class_table();
   const auto run_continuation = [&](int64_t j, int32_t* pcpl) {
     int32_t cpl = *pcpl;
     while (j < size) {
@@ -632,12 +678,33 @@ inline bool scan_unit(const uint8_t* data, int64_t size, const ClassMasks& cm,
       }
       if (!(cm.nonascii[j >> 6] & b)) break;  // ASCII space/punct delimits
       int64_t c2;
-      const uint32_t cp2 = decode_one(data + j, size - j, &c2);
-      if (cp2 == kInvalid) {
-        j += c2;  // invalid bytes vanish; they do not delimit units
-        continue;
+      uint8_t cls2;
+      // Pair-LUT fast path: one table load classifies the char (the
+      // dominant cost of CJK-dense scans was decode_one per char).
+      if (j + 1 < size) {
+        const uint8_t v =
+            pair_cls[(static_cast<uint32_t>(data[j]) << 8) | data[j + 1]];
+        if (v >= (3u << 3)) {  // uniform 3-byte block
+          if (j + 2 < size && is_cont(data[j + 2])) {
+            cls2 = v & 7u;
+            c2 = 3;
+            goto classified;
+          }
+        } else if (v) {  // valid 2-byte char
+          cls2 = v & 7u;
+          c2 = 2;
+          goto classified;
+        }
       }
-      const uint8_t cls2 = cp_class(cp2);
+      {
+        const uint32_t cp2 = decode_one(data + j, size - j, &c2);
+        if (cp2 == kInvalid) {
+          j += c2;  // invalid bytes vanish; they do not delimit units
+          continue;
+        }
+        cls2 = cp_class(cp2);
+      }
+    classified:
       if (cls2) {  // spacing char ends the unit; carry its decode
         cur->carry_len = c2;
         cur->carry_cls = cls2;
@@ -686,14 +753,33 @@ inline bool scan_unit(const uint8_t* data, int64_t size, const ClassMasks& cm,
         cplen = 1;
         i++;
       } else {
-        // Multi-byte (or invalid) first char: full decode.
+        // Multi-byte (or invalid) first char: pair-LUT, else full decode.
         int64_t consumed;
-        const uint32_t cp = decode_one(data + i, size - i, &consumed);
-        if (cp == kInvalid) {
-          i += consumed;
-          continue;
+        uint8_t cls;
+        if (i + 1 < size) {
+          const uint8_t v =
+              pair_cls[(static_cast<uint32_t>(data[i]) << 8) | data[i + 1]];
+          if (v >= (3u << 3)) {
+            if (i + 2 < size && is_cont(data[i + 2])) {
+              cls = v & 7u;
+              consumed = 3;
+              goto first_classified;
+            }
+          } else if (v) {
+            cls = v & 7u;
+            consumed = 2;
+            goto first_classified;
+          }
         }
-        const uint8_t cls = cp_class(cp);
+        {
+          const uint32_t cp = decode_one(data + i, size - i, &consumed);
+          if (cp == kInvalid) {
+            i += consumed;
+            continue;
+          }
+          cls = cp_class(cp);
+        }
+      first_classified:
         if (cls & 1) {  // space: skip
           i += consumed;
           continue;
@@ -925,6 +1011,12 @@ struct WpDedupeSession {
   std::vector<int64_t> astart;  // per-uid arena offset
   std::vector<int32_t> alen;    // per-uid byte length
   int64_t n_uniq = 0;
+  // Direct cp -> uid map for SINGLE-codepoint BMP units (every glued
+  // kana/kanji, ASCII punct, 1-letter words): one indexed load replaces
+  // hash + probe + compare for the unit class that dominates CJK text.
+  // Singles live ONLY here (never in `table`); a unit's routing is a
+  // pure function of its bytes, so the two tiers can never alias.
+  std::vector<int32_t> single_uid = std::vector<int32_t>(1 << 16, -1);
 };
 
 namespace {
@@ -937,7 +1029,11 @@ struct PendScan {
   std::vector<int64_t> pstart;  // absolute byte offsets into data
   std::vector<int32_t> plen, pcplen;
   std::vector<uint64_t> phash;
+  std::vector<int32_t> pcp;  // BMP cp for single-cp pendings, else -1
   std::vector<int64_t> fix_pos;  // half-relative occ indices
+  // Pending-tier singles map (cp -> pending idx), dirty-list reset.
+  std::vector<int32_t> single_pend = std::vector<int32_t>(1 << 16, -1);
+  std::vector<int32_t> single_dirty;
   int64_t n_occ = 0;
   void reset() {
     pend.reset(1 << 12);
@@ -945,10 +1041,33 @@ struct PendScan {
     plen.clear();
     pcplen.clear();
     phash.clear();
+    pcp.clear();
     fix_pos.clear();
+    for (const int32_t cp : single_dirty) single_pend[static_cast<size_t>(cp)] = -1;
+    single_dirty.clear();
     n_occ = 0;
   }
 };
+
+// cp of a unit that is EXACTLY one valid BMP codepoint (an invalid-byte-
+// containing or supplementary unit returns -1 and takes the byte-keyed
+// path; byte-identical units always route the same way).
+inline int32_t single_cp(const uint8_t* p, int32_t klen) {
+  if (klen == 1) return p[0] < 0x80u ? static_cast<int32_t>(p[0]) : -1;
+  if (klen == 2) {
+    if ((p[0] & 0xE0u) == 0xC0u && is_cont(p[1])) {
+      const uint32_t cp = ((p[0] & 0x1Fu) << 6) | (p[1] & 0x3Fu);
+      if (cp >= 0x80u) return static_cast<int32_t>(cp);
+    }
+    return -1;
+  }
+  if ((p[0] & 0xF0u) == 0xE0u && is_cont(p[1]) && is_cont(p[2])) {
+    const uint32_t cp =
+        ((p[0] & 0x0Fu) << 12) | ((p[1] & 0x3Fu) << 6) | (p[2] & 0x3Fu);
+    if (cp >= 0x800u && ok_cp(cp)) return static_cast<int32_t>(cp);
+  }
+  return -1;
+}
 
 // Scan data[off, off+len) writing SESSION uids into occ; unknown units
 // become -(pending_idx)-1 placeholders collected in `ps`.  Strictly
@@ -969,14 +1088,19 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
   const int64_t* astart = s->astart.data();
   const int32_t* alen = s->alen.data();
 
+  const int32_t* s_single = s->single_uid.data();
+
   int64_t n = 0;
   // Batched software pipeline (as in wp_segment_dedupe): scan+hash a
   // block of units, prefetching each unit's session slot as its hash
   // lands, then probe the block — a whole block of scan work hides each
-  // probe's cache miss.
+  // probe's cache miss.  Single-codepoint units resolve IN the scan
+  // phase through the direct cp maps (no hash, no probe); their final
+  // occ value is carried in bres[] past the probe phase.
   constexpr int B = 64;
+  constexpr int32_t kUnresolved = INT32_MIN;
   int64_t bs[B];
-  int32_t bl[B], bcp[B];
+  int32_t bl[B], bcp[B], bres[B];
   uint64_t bh[B];
   ScanCur cur;
   bool done = false;
@@ -990,15 +1114,48 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
         break;
       }
       start += off;
+      if (cplen == 1 && klen <= 3) {
+        const int32_t cp1 = single_cp(data + start, klen);
+        if (cp1 >= 0) {
+          int32_t v = s_single[static_cast<size_t>(cp1)];
+          if (v < 0) {
+            int32_t pid = ps->single_pend[static_cast<size_t>(cp1)];
+            if (pid < 0) {
+              pid = static_cast<int32_t>(ps->pstart.size());
+              ps->pstart.push_back(start);
+              ps->plen.push_back(klen);
+              ps->pcplen.push_back(1);
+              ps->phash.push_back(0);
+              ps->pcp.push_back(cp1);
+              ps->single_pend[static_cast<size_t>(cp1)] = pid;
+              ps->single_dirty.push_back(cp1);
+            }
+            v = -pid - 1;
+          }
+          bs[nb] = start;
+          bl[nb] = klen;
+          bcp[nb] = 1;
+          bres[nb] = v;
+          nb++;
+          continue;
+        }
+      }
       const uint64_t h = hash_unit(data, start, klen, total_size);
       __builtin_prefetch(&slots[static_cast<size_t>(h) & smask]);
       bs[nb] = start;
       bl[nb] = klen;
       bcp[nb] = cplen;
       bh[nb] = h;
+      bres[nb] = kUnresolved;
       nb++;
     }
     for (int k = 0; k < nb; k++) {
+      if (bres[k] != kUnresolved) {
+        occ[n] = bres[k];
+        if (bres[k] < 0) ps->fix_pos.push_back(n);
+        n++;
+        continue;
+      }
       const uint64_t h = bh[k];
       const int64_t start = bs[k];
       const int32_t klen = bl[k];
@@ -1046,6 +1203,7 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
           ps->plen.push_back(klen);
           ps->pcplen.push_back(bcp[k]);
           ps->phash.push_back(h);
+          ps->pcp.push_back(-1);
           ps->pend.t[pb].hash = h;
           ps->pend.t[pb].uid = pid;
           if (ps->pstart.size() * 2 > ps->pend.mask) ps->pend.grow();
@@ -1140,19 +1298,26 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
     for (size_t p = 0; p < np; p++) {
       const int64_t start = ps.pstart[p];
       const int32_t len = ps.plen[p];
-      const uint64_t h = ps.phash[p];
-      size_t b = static_cast<size_t>(h) & s->table.mask;
       int32_t found = -1;
-      while (s->table.t[b].uid >= 0) {
-        const int32_t cand = s->table.t[b].uid;
-        if (s->table.t[b].hash == h &&
-            s->alen[static_cast<size_t>(cand)] == len &&
-            unit_eq(s->arena.data() + s->astart[static_cast<size_t>(cand)],
-                    data + start, len)) {
-          found = cand;
-          break;
+      const int32_t cp1 = ps.pcp[p];
+      size_t b = 0;
+      if (cp1 >= 0) {
+        // Single-cp pending: dedupe (across halves) via the direct map.
+        found = s->single_uid[static_cast<size_t>(cp1)];
+      } else {
+        const uint64_t h = ps.phash[p];
+        b = static_cast<size_t>(h) & s->table.mask;
+        while (s->table.t[b].uid >= 0) {
+          const int32_t cand = s->table.t[b].uid;
+          if (s->table.t[b].hash == h &&
+              s->alen[static_cast<size_t>(cand)] == len &&
+              unit_eq(s->arena.data() + s->astart[static_cast<size_t>(cand)],
+                      data + start, len)) {
+            found = cand;
+            break;
+          }
+          b = (b + 1) & s->table.mask;
         }
-        b = (b + 1) & s->table.mask;
       }
       if (found < 0) {
         found = static_cast<int32_t>(s->n_uniq++);
@@ -1162,9 +1327,14 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
         // 8-byte pad after every unit: probes may use the masked 8-byte
         // compare (unit_eq8) on the arena side without a bounds check.
         s->arena.insert(s->arena.end(), 8, 0);
-        s->table.t[b].hash = h;
-        s->table.t[b].uid = found;
-        if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask) s->table.grow();
+        if (cp1 >= 0) {
+          s->single_uid[static_cast<size_t>(cp1)] = found;
+        } else {
+          s->table.t[b].hash = ps.phash[p];
+          s->table.t[b].uid = found;
+          if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask)
+            s->table.grow();
+        }
         new_start[n_new] = start;
         new_len[n_new] = len;
         new_cplen[n_new] = ps.pcplen[p];
