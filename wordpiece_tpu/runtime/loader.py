@@ -284,58 +284,26 @@ def encode_scalar(text_cp: np.ndarray, vocab) -> np.ndarray | None:
     return out[:n].copy()
 
 
-_SCRATCH_TLS = threading.local()
-
-
-def _scratch(name: str, cap: int, dtype) -> np.ndarray:
-    """Reused per-call scratch (page faults on fresh np.empty buffers cost
-    more than the arrays' fills when called per pipeline chunk).
-    Thread-local: concurrent segment_dedupe callers each get their own
-    buffers (the results handed back are copies)."""
-    scr = getattr(_SCRATCH_TLS, "scr", None)
-    if scr is None:
-        scr = _SCRATCH_TLS.scr = {}
-    arr = scr.get(name)
-    if arr is None or arr.shape[0] < cap:
-        arr = np.empty(int(cap * 1.25) + 16, dtype=dtype)
-        scr[name] = arr
-    return arr
-
-
 def segment_dedupe(data: bytes):
     """Segment corpus bytes into units and dedupe.
 
     Returns (occ_unique int32[n_occ], uniq_start int64[nu],
-    uniq_len int32[nu], uniq_cplen int32[nu]) or None."""
+    uniq_len int32[nu], uniq_cplen int32[nu]) or None.
+
+    Implemented as a one-shot DedupeSession: a fresh session's first
+    segment call has exactly this contract (occ ids in first-seen order,
+    new_* = every unique in uid order), and the session scanner carries
+    the fast paths (fat self-contained table slots, the single-codepoint
+    direct maps, 2-thread halves) that the legacy standalone scanner
+    lacks."""
     lib = _load()
     if lib is None:
         return None
-    size = len(data)
-    cap = max(size, 1)
-    buf = np.frombuffer(data, dtype=np.uint8) if size else np.zeros(1, np.uint8)
-    occ = _scratch("occ", cap, np.int32)
-    ustart = _scratch("ustart", cap, np.int64)
-    ulen = _scratch("ulen", cap, np.int32)
-    ucplen = _scratch("ucplen", cap, np.int32)
-    n_uniq = ctypes.c_int64(0)
-    nthr = n_threads()
-    n_occ = lib.wp_segment_dedupe_mt(
-        buf.ctypes.data_as(ctypes.c_void_p),
-        size,
-        occ.ctypes.data_as(ctypes.c_void_p),
-        ustart.ctypes.data_as(ctypes.c_void_p),
-        ulen.ctypes.data_as(ctypes.c_void_p),
-        ucplen.ctypes.data_as(ctypes.c_void_p),
-        ctypes.byref(n_uniq),
-        np.int32(nthr),
-    )
-    nu = n_uniq.value
-    return (
-        occ[:n_occ].copy(),
-        ustart[:nu].copy(),
-        ulen[:nu].copy(),
-        ucplen[:nu].copy(),
-    )
+    s = DedupeSession()
+    try:
+        return s.segment(data)
+    finally:
+        s.close()
 
 
 class DedupeSession:
