@@ -1012,23 +1012,26 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
 // units touch the arena (tail compare past byte 8).  Measured: 1-thread
 // session segmentation 93 -> ~180 MB/s on the en bench corpus.
 struct SessionTable {
-  struct Slot {
-    uint64_t hash;
-    int32_t uid;
-    int32_t len;      // unit byte length
+  struct Slot {  // 16 bytes -> 4 slots per cache line
     uint64_t first8;  // first min(len, 8) unit bytes, zero-padded
-    int64_t astart;   // arena offset (tail compare for len > 8)
+    int32_t uid;
+    int32_t len;  // unit byte length
   };
   std::vector<Slot> t;
   size_t mask;
   explicit SessionTable(size_t cap_pow2) : t(cap_pow2), mask(cap_pow2 - 1) {
     std::memset(t.data(), 0xFF, t.size() * sizeof(Slot));  // uid == -1
   }
-  void grow() {
+  // No stored hash: (len, first8) is the quick reject, and a full key
+  // compare needs the arena only for len > 8 tails.  Rehashing on grow
+  // recomputes each unit's hash from its (padded) arena bytes.
+  void grow(const uint8_t* arena, const int64_t* astart, int64_t arena_size) {
     SessionTable bigger(2 * (mask + 1));
     for (size_t s = 0; s <= mask; s++) {
       if (t[s].uid >= 0) {
-        size_t b = static_cast<size_t>(t[s].hash) & bigger.mask;
+        const uint64_t h =
+            hash_unit(arena, astart[t[s].uid], t[s].len, arena_size);
+        size_t b = static_cast<size_t>(h) & bigger.mask;
         while (bigger.t[b].uid >= 0) b = (b + 1) & bigger.mask;
         bigger.t[b] = t[s];
       }
@@ -1129,6 +1132,7 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
   const SessionTable::Slot* slots = s->table.t.data();
   const size_t smask = s->table.mask;
   const uint8_t* arena = s->arena.data();
+  const int64_t* astart = s->astart.data();  // len > 8 tail compares only
 
   const int32_t* s_single = s->single_uid.data();
 
@@ -1142,7 +1146,7 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
   constexpr int B = 64;
   constexpr int32_t kUnresolved = INT32_MIN;
   int64_t bs[B];
-  int32_t bl[B], bcp[B], bres[B];
+  int32_t bl[B], bcp[B], bres[B], bcp1[B];
   uint64_t bh[B];
   ScanCur cur;
   bool done = false;
@@ -1159,25 +1163,15 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       if (cplen == 1 && klen <= 3) {
         const int32_t cp1 = single_cp(data + start, klen);
         if (cp1 >= 0) {
-          int32_t v = s_single[static_cast<size_t>(cp1)];
-          if (v < 0) {
-            int32_t pid = ps->single_pend[static_cast<size_t>(cp1)];
-            if (pid < 0) {
-              pid = static_cast<int32_t>(ps->pstart.size());
-              ps->pstart.push_back(start);
-              ps->plen.push_back(klen);
-              ps->pcplen.push_back(1);
-              ps->phash.push_back(0);
-              ps->pcp.push_back(cp1);
-              ps->single_pend[static_cast<size_t>(cp1)] = pid;
-              ps->single_dirty.push_back(cp1);
-            }
-            v = -pid - 1;
-          }
+          const int32_t v = s_single[static_cast<size_t>(cp1)];
           bs[nb] = start;
           bl[nb] = klen;
           bcp[nb] = 1;
-          bres[nb] = v;
+          // Session map hit resolves here; a miss defers its PENDING
+          // creation to the probe phase so pending (and hence uid)
+          // numbering stays in first-seen unit order across the batch.
+          bres[nb] = v >= 0 ? v : kUnresolved;
+          bcp1[nb] = cp1;
           nb++;
           continue;
         }
@@ -1189,6 +1183,7 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       bcp[nb] = cplen;
       bh[nb] = h;
       bres[nb] = kUnresolved;
+      bcp1[nb] = -1;
       nb++;
     }
     for (int k = 0; k < nb; k++) {
@@ -1196,11 +1191,27 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       // outstanding) overrun the line-fill buffers and are partially
       // dropped; re-issuing a few slots ahead keeps the next probes'
       // lines in flight within LFB capacity.
-      if (k + 6 < nb && bres[k + 6] == kUnresolved)
+      if (k + 6 < nb && bres[k + 6] == kUnresolved && bcp1[k + 6] < 0)
         __builtin_prefetch(&slots[static_cast<size_t>(bh[k + 6]) & smask]);
       if (bres[k] != kUnresolved) {
-        occ[n] = bres[k];
-        if (bres[k] < 0) ps->fix_pos.push_back(n);
+        occ[n++] = bres[k];
+        continue;
+      }
+      if (bcp1[k] >= 0) {  // first-seen single: pending via the cp map
+        const int32_t cp1 = bcp1[k];
+        int32_t pid = ps->single_pend[static_cast<size_t>(cp1)];
+        if (pid < 0) {
+          pid = static_cast<int32_t>(ps->pstart.size());
+          ps->pstart.push_back(bs[k]);
+          ps->plen.push_back(bl[k]);
+          ps->pcplen.push_back(1);
+          ps->phash.push_back(0);
+          ps->pcp.push_back(cp1);
+          ps->single_pend[static_cast<size_t>(cp1)] = pid;
+          ps->single_dirty.push_back(cp1);
+        }
+        occ[n] = -pid - 1;
+        ps->fix_pos.push_back(n);
         n++;
         continue;
       }
@@ -1214,10 +1225,10 @@ void session_scan_half(const WpDedupeSession* s, const uint8_t* data,
       size_t b = static_cast<size_t>(h) & smask;
       int32_t uid = -1;
       while (slots[b].uid >= 0) {
-        if (slots[b].hash == h && slots[b].len == klen &&
-            slots[b].first8 == w8 &&
-            (klen <= 8 || unit_eq(arena + slots[b].astart + 8,
-                                  data + start + 8, klen - 8))) {
+        if (slots[b].len == klen && slots[b].first8 == w8 &&
+            (klen <= 8 ||
+             unit_eq(arena + astart[static_cast<size_t>(slots[b].uid)] + 8,
+                     data + start + 8, klen - 8))) {
           uid = slots[b].uid;
           break;
         }
@@ -1356,12 +1367,13 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
         w8 = first8_key(data, start, len, size);
         b = static_cast<size_t>(h) & s->table.mask;
         while (s->table.t[b].uid >= 0) {
-          if (s->table.t[b].hash == h && s->table.t[b].len == len &&
-              s->table.t[b].first8 == w8 &&
+          const int32_t cand = s->table.t[b].uid;
+          if (s->table.t[b].len == len && s->table.t[b].first8 == w8 &&
               (len <= 8 ||
-               unit_eq(s->arena.data() + s->table.t[b].astart + 8,
+               unit_eq(s->arena.data() +
+                           s->astart[static_cast<size_t>(cand)] + 8,
                        data + start + 8, len - 8))) {
-            found = s->table.t[b].uid;
+            found = cand;
             break;
           }
           b = (b + 1) & s->table.mask;
@@ -1379,13 +1391,12 @@ int64_t wp_dedupe_session_segment(void* handle, const uint8_t* data,
         if (cp1 >= 0) {
           s->single_uid[static_cast<size_t>(cp1)] = found;
         } else {
-          s->table.t[b].hash = ps.phash[p];
           s->table.t[b].uid = found;
           s->table.t[b].len = len;
           s->table.t[b].first8 = w8;
-          s->table.t[b].astart = aoff;
           if (static_cast<size_t>(s->n_uniq) * 2 > s->table.mask)
-            s->table.grow();
+            s->table.grow(s->arena.data(), s->astart.data(),
+                          static_cast<int64_t>(s->arena.size()));
         }
         new_start[n_new] = start;
         new_len[n_new] = len;
