@@ -282,3 +282,43 @@ def test_full_encode_with_numpy_verify(monkeypatch):
         ["[UNK]", "the", "quick", "brown", "fox", "jump", "##s", "over",
          "lazy", "dog", "z", "##z", "##9"],
     )
+
+
+def test_device_role_auto_matches_primary():
+    """device_role="auto" is the same pipeline with a fetch deadline; on
+    a healthy link it must emit identical ids to "primary"."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.core.vocab import parse_vocab
+    from wordpiece_tpu.engine_word import WordEncoder
+
+    corpus = make_corpus(400_000)
+    vocab = parse_vocab(make_vocab(corpus, vocab_size=3000))
+    want = WordEncoder(vocab, device_role="primary").encode_bytes(corpus)
+    enc = WordEncoder(vocab, device_role="auto")
+    got = enc.encode_bytes(corpus)
+    np.testing.assert_array_equal(got, want)
+    assert enc.device_fallbacks == 0
+
+
+def test_device_role_auto_rescues_stalled_fetch():
+    """A device fetch that raises (or never returns) must be rescued by
+    the host oracle with identical output — an encode always completes.
+    Exercises the multi-chunk pipeline; only device-dispatching chunks
+    hit the failing fetch."""
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.core.vocab import parse_vocab
+    from wordpiece_tpu.engine_word import WordEncoder
+    from wordpiece_tpu.runtime import loader
+
+    corpus = make_corpus(4_200_000)
+    vocab = parse_vocab(make_vocab(corpus, vocab_size=4000))
+    enc = WordEncoder(vocab, device_role="auto")
+
+    def broken_fetch(handle, no_fallback=False):
+        raise RuntimeError("simulated tunnel stall: INTERNAL backend error")
+
+    enc._fetch_buckets = broken_fetch
+    got = enc.encode_bytes(corpus)
+    want = loader.VocabHandle(vocab).encode(loader.decode_utf8(corpus))
+    np.testing.assert_array_equal(got, want)
+    assert enc.device_fallbacks >= 1

@@ -278,7 +278,11 @@ def make_encoder(vocab: Vocabulary, engine: str = "fast", *, cache: bool = False
         if loader.available():
             from .engine_word import WordEncoder
 
-            return WordEncoder(vocab, cache=cache)
+            # Production policy "auto": the host oracle computes chunks
+            # that fit its budget while the device recomputes them as an
+            # async cross-check — identical ids, and a device-link stall
+            # can never block an encode (see WordEncoder.__init__).
+            return WordEncoder(vocab, cache=cache, device_role="auto")
         if cache:
             raise RuntimeError(
                 "cache=True requires the native host runtime (WordEncoder); "

@@ -26,6 +26,8 @@ Pipeline:
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -63,8 +65,10 @@ def pack_groups(
     narrow=True with BMP-only codepoints: uint16[rows, 128] — the device
     widens and appends the pad block (word_kernel_pallas._widen_pad), so
     H2D ships 2 bytes/lane and no pad columns (the axon tunnel's ~20MB/s
-    makes the first chunk's H2D a critical-path item).  Falls back to the
-    full int32 layout when any codepoint exceeds uint16.
+    makes the first chunk's H2D a critical-path item).  Latin-1-only
+    buckets (all of ASCII text) narrow further to uint8 — 1 byte/lane.
+    Falls back to the full int32 layout when any codepoint exceeds
+    uint16.
     """
     u, w = mat.shape
     assert w == stride - 1
@@ -73,8 +77,9 @@ def pack_groups(
     units = np.full((rows * n_groups, stride), 32, dtype=np.int32)
     units[:u, :w] = mat
     packed = units.reshape(rows, 128)
-    if narrow and (u == 0 or int(mat.max()) <= 0xFFFF):
-        return packed.astype(np.uint16)
+    mx = 32 if u == 0 else int(mat.max())
+    if narrow and mx <= 0xFFFF:
+        return packed.astype(np.uint8 if mx <= 0xFF else np.uint16)
     out = np.full((rows, 128 + max_len), 32, dtype=np.int32)
     out[:, :128] = packed
     return out
@@ -86,6 +91,24 @@ def unpack_emit(emit: np.ndarray, stride: int, n_units: int) -> np.ndarray:
     n_groups = 128 // stride
     units = emit.reshape(rows * n_groups, stride)
     return units[:n_units, : stride - 1]
+
+
+def _await_ready(arr, timeout_s: float) -> bool:
+    """Poll arr.is_ready() until True or the deadline; never blocks on
+    the array itself.  Verified against the axon tunnel backend: a
+    cross-thread or blocking wait on an IN-FLIGHT array can deadlock
+    there, while is_ready() transitions reliably.  Arrays without
+    is_ready (numpy-backed) count as ready."""
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            if arr.is_ready():
+                return True
+        except AttributeError:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(0.002)
 
 
 class _TokenStore:
@@ -132,6 +155,7 @@ class WordEncoder:
         *,
         verify: bool = True,
         cache: bool = False,
+        device_role: str = "primary",
     ):
         """cache=True keeps the dedupe session and per-unit token lists
         ALIVE ACROSS encode calls (a vocabulary-lifetime unit cache):
@@ -145,7 +169,24 @@ class WordEncoder:
         re-encodes any mismatching unit with the native scalar oracle.
         This catches any hash collision that surfaces as an emitted
         token; the residual risk (a collision at a never-emitted position
-        perturbing only UNK placement) stays at ~2^-64 per probe."""
+        perturbing only UNK placement) stays at ~2^-64 per probe.
+
+        device_role:
+          - "primary" (default): a device fetch blocks until the result
+            arrives, however long that takes.
+          - "auto" (chosen by make_encoder for the production path):
+            identical pipeline and identical ids, but the result's
+            readiness is polled (is_ready) under a deadline
+            (DEVICE_FETCH_TIMEOUT_S) before the blocking fetch; a result
+            that is not ready in time, or a fetch that raises (the axon
+            tunnel has stalled for minutes and thrown INTERNAL backend
+            errors mid-run), is RESCUED by encoding that chunk's units
+            with the native host oracle, so an encode always completes.
+            Rescues are counted in self.device_fallbacks.
+        An always-race variant (host computes, device cross-checks) was
+        measured 38% SLOWER on CJK corpora on a 2-vCPU host — the spare
+        "free" overlap the race needs does not exist there — so rescue
+        is strictly an exception path, not a compute policy."""
         if not loader.available():
             raise RuntimeError("word engine requires the native host runtime")
         self.vocab = vocab
@@ -157,6 +198,10 @@ class WordEncoder:
         self._tab_id = jnp.asarray(self.tables.tid)
         self._scalar = loader.VocabHandle(vocab)
         self.cache = cache
+        if device_role not in ("primary", "auto"):
+            raise ValueError(f"unknown device_role {device_role!r}")
+        self.device_role = device_role
+        self.device_fallbacks = 0  # rescued (timed-out / errored) fetches
         self._cache_state = None  # (DedupeSession, _TokenStore) when cache
         self._executor = None  # lazy 1-thread pool for pipelined prepares
         self.stats = None  # optional utils.profiling.StageStats
@@ -234,13 +279,15 @@ class WordEncoder:
         sizes = [mats[b].shape[0] for b in nonempty]
         return ("async", out_dev, nonempty, rows, sizes, len(mats), cap, packed, strides)
 
-    def _fetch_buckets(self, handle) -> list[np.ndarray]:
+    def _fetch_buckets(self, handle, no_fallback: bool = False):
         if handle[0] == "sync":
             return handle[1]
         _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
         fused = np.asarray(out_dev)  # ONE D2H transfer
         total = int(fused[0])
         if total > cap:  # >2 ids/unit on average (UNK-heavy / char vocabs)
+            if no_fallback:  # deferred-check path: never launch a 2nd program
+                return None
             return self._fetch_full(packed, strides, nonempty, rows, sizes, n_mats)
         rows_total = sum(rows)
         compact = fused[1 + rows_total : 1 + rows_total + total]
@@ -528,6 +575,11 @@ class WordEncoder:
     # data-dependent; collective entry counts must not be).
     SCALAR_SMALL_CPLEN = 2
 
+    # device_role="auto": give up on a device fetch after this long and
+    # rescue the chunk on the host oracle.  Generous vs the ~50 ms a
+    # healthy fetch takes; small vs the minutes a wedged tunnel costs.
+    DEVICE_FETCH_TIMEOUT_S = 10.0
+
     # -- host orchestration ------------------------------------------------
     def _prepare_chunk(
         self, data: bytes, session: loader.DedupeSession, first: bool = True
@@ -596,7 +648,7 @@ class WordEncoder:
         stream from the store."""
         occ, nstart, nlen, mats, bucket_of, row_of, handle, small = state
         if nstart is not None:
-            if isinstance(handle, tuple) and handle[0] == "scalar":
+            if isinstance(handle, tuple) and handle[0] == "scalar":  # host batch
                 _, flat, counts = handle
                 store.append(flat, counts.astype(np.int64))
             else:
@@ -618,15 +670,43 @@ class WordEncoder:
     ) -> None:
         """`small`: optional (small_idx, flat, counts) of units encoded by
         the host oracle (bucket_of == -1 at those uids)."""
-        n_new = nstart.shape[0]
-        n_buckets = len(WIDTHS)
         with self._stage("device_fetch", len(data)):
-            emits = self._fetch_buckets(handle)
+            if self.device_role == "auto":
+                try:
+                    if handle[0] == "async" and not _await_ready(
+                        handle[1], self.DEVICE_FETCH_TIMEOUT_S
+                    ):
+                        raise TimeoutError("device result not ready in time")
+                    emits = self._fetch_buckets(handle)
+                except Exception:
+                    # Stalled or errored device link: rescue the chunk on
+                    # the host oracle (identical ids by construction).
+                    self.device_fallbacks += 1
+                    with self._stage("host_scalar_units"):
+                        flat, counts = self._scalar.encode_units(
+                            data, nstart, nlen, int(nlen.sum())
+                        )
+                    store.append(flat, counts.astype(np.int64))
+                    return
+            else:
+                emits = self._fetch_buckets(handle)
         if self.verify:
             with self._stage("host_verify"):
                 for b, mat in enumerate(mats):
                     if mat.shape[0]:
                         emits[b] = self._verify_emit(mat, emits[b])
+        order_flat, counts_u = self._emits_to_uid_flat(
+            data, nstart, nlen, mats, bucket_of, row_of, emits, small
+        )
+        store.append(order_flat, counts_u)
+
+    def _emits_to_uid_flat(
+        self, data, nstart, nlen, mats, bucket_of, row_of, emits, small=None
+    ):
+        """Per-bucket emit matrices -> (order_flat, counts_u): every new
+        unit's token ids concatenated in uid order."""
+        n_new = nstart.shape[0]
+        n_buckets = len(WIDTHS)
         flats: list[np.ndarray] = []
         bucket_row_offsets: list[np.ndarray] = []  # per bucket: int64[U_b+1]
         for b, mat in enumerate(mats):
@@ -701,7 +781,7 @@ class WordEncoder:
             if su.shape[0] > 1:
                 d[first_pos[1:]] = su[1:] - (su[:-1] + ln[:-1]) + 1
             order_flat[:] = tok_flat[np.cumsum(d)]
-        store.append(order_flat, counts_u)
+        return order_flat, counts_u
 
     def encode_codepoints(self, cps: np.ndarray) -> np.ndarray:
         """Compatibility entry: re-encode cps to UTF-8 bytes first."""
