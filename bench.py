@@ -125,6 +125,23 @@ def run_one(
         "unit": "bytes/s",
         "vs_baseline": round(value / base, 3),
     }
+    # Device-path provenance: a run whose chunks were rescued by the host
+    # oracle prints a correct-looking number at host-oracle speed.  That
+    # must NEVER pass silently (round 4 shipped a 120x regression this
+    # way): any rescue anywhere in this run — oracle check, warmup, or
+    # timed iterations — marks the metric degraded.
+    fallbacks = int(getattr(enc, "device_fallbacks", 0))
+    if fallbacks or hasattr(enc, "device_fallbacks"):
+        result["device_fallbacks"] = fallbacks
+    if fallbacks:
+        result["degraded"] = True
+        print(
+            f"# DEGRADED: [{engine}/{lang}] {fallbacks} device fetch(es) "
+            f"rescued by the host oracle "
+            f"(last cause: {getattr(enc, 'last_rescue_cause', None)}); "
+            f"the throughput above does NOT measure the device path",
+            file=sys.stderr,
+        )
     if verbose:
         print(
             f"[{engine}/{lang}] e2e: {t_e2e*1e3:.1f} ms  ids={ids.shape[0]}  "
@@ -212,6 +229,13 @@ def main() -> int:
     results.append(primary)
     for r in results:
         print(json.dumps(r))
+    if primary.get("degraded"):
+        print(
+            "# BENCH FAILED: primary metric is degraded (device path was "
+            "rescued by the host oracle)",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

@@ -74,7 +74,10 @@ def random_split_vocab(rng: np.random.Generator, s: str, parts: int) -> list[str
     return sorted(vocab)
 
 
-@pytest.mark.parametrize("positive", [True, False])
+@pytest.mark.parametrize(
+    "positive",
+    [pytest.param(True, marks=pytest.mark.slow), False],
+)
 def test_random_split_stress(positive):
     rng = np.random.default_rng(17)
     alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))

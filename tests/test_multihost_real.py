@@ -44,6 +44,9 @@ def _vocab_lines():
     )
 
 
+@pytest.mark.slow  # ~80 s: spawns two real jax.distributed processes.
+# The virtual-mesh multihost coverage (test_multihost.py) stays in the
+# default tier; this real 2-process run is the slow-tier capstone.
 def test_two_process_multihost(tmp_path):
     rng = np.random.default_rng(23)
     words = [

@@ -76,7 +76,8 @@ def _diff(got: np.ndarray, want: np.ndarray, label: str) -> None:
 @pytest.mark.parametrize(
     "text_len,parts",
     [
-        (1_000_000, 30_000),
+        (300_000, 10_000),
+        pytest.param(1_000_000, 30_000, marks=pytest.mark.slow),
         pytest.param(10_000_000, 30_000, marks=pytest.mark.slow),
     ],
 )
@@ -148,15 +149,16 @@ def _spaced_corpus_and_vocab(rng: np.random.Generator, size_chars: int):
 @pytest.mark.parametrize(
     "size_chars",
     [
-        2_000_000,
+        1_000_000,
+        pytest.param(2_000_000, marks=pytest.mark.slow),
         pytest.param(10_000_000, marks=pytest.mark.slow),
     ],
 )
 def test_spaced_device_paths(size_chars):
     """Regime 2: spaced text with a ~30k-token vocab; both device
     engines (pipelined word engine + SA batches) vs the oracle, positive
-    and negative.  2M chars is the default-suite tier; 10M (the exact
-    reference scale) is the slow tier."""
+    and negative.  1M chars is the default-suite tier; 2M and 10M (the
+    exact reference scale) are the slow tier."""
     from wordpiece_tpu.api import make_encoder
     from wordpiece_tpu.engine_linear import LinearEncoder
 
@@ -181,13 +183,20 @@ def test_spaced_device_paths(size_chars):
         _diff(lin.encode_bytes(data), want, f"linear spaced {size_chars} pos={positive}")
 
 
-def test_reference_mid_scale_matrix():
+@pytest.mark.parametrize(
+    "text_lens",
+    [
+        (100_000, 500_000),
+        pytest.param((1_000_000,), marks=pytest.mark.slow),
+    ],
+)
+def test_reference_mid_scale_matrix(text_lens):
     """The reference's 100k-1M sweep (tests/tests.cpp:256-263) at its own
     parts count, positive + negative, fast engine vs oracle."""
     from wordpiece_tpu.api import make_encoder
 
     rng = np.random.default_rng(17)
-    for text_len in (100_000, 500_000, 1_000_000):
+    for text_len in text_lens:
         s = _random_string(rng, text_len)
         split = _random_split(s, rng, min(30_000, text_len // 10))
         for positive in (True, False):

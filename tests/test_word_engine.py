@@ -301,10 +301,14 @@ def test_device_role_auto_matches_primary():
 
 
 def test_device_role_auto_rescues_stalled_fetch():
-    """A device fetch that raises (or never returns) must be rescued by
-    the host oracle with identical output — an encode always completes.
-    Exercises the multi-chunk pipeline; only device-dispatching chunks
-    hit the failing fetch."""
+    """A device fetch that raises a device/link error (or never returns)
+    must be rescued by the host oracle with identical output — an encode
+    always completes.  Exercises the multi-chunk pipeline; only
+    device-dispatching chunks hit the failing fetch, and after
+    DEVICE_DEAD_AFTER consecutive rescues the link latches dead so later
+    chunks skip dispatch entirely (bounded rescue count)."""
+    import jax.errors
+
     from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
     from wordpiece_tpu.core.vocab import parse_vocab
     from wordpiece_tpu.engine_word import WordEncoder
@@ -314,11 +318,66 @@ def test_device_role_auto_rescues_stalled_fetch():
     vocab = parse_vocab(make_vocab(corpus, vocab_size=4000))
     enc = WordEncoder(vocab, device_role="auto")
 
-    def broken_fetch(handle, no_fallback=False):
-        raise RuntimeError("simulated tunnel stall: INTERNAL backend error")
+    def broken_fetch(handle):
+        raise jax.errors.JaxRuntimeError(
+            "simulated tunnel stall: INTERNAL backend error"
+        )
 
     enc._fetch_buckets = broken_fetch
     got = enc.encode_bytes(corpus)
     want = loader.VocabHandle(vocab).encode(loader.decode_utf8(corpus))
     np.testing.assert_array_equal(got, want)
+    assert 1 <= enc.device_fallbacks <= enc.DEVICE_DEAD_AFTER
+    assert enc._device_dead or enc.device_fallbacks < enc.DEVICE_DEAD_AFTER
+    assert "INTERNAL" in (enc.last_rescue_cause or "")
+
+
+def test_device_role_auto_rescues_timeout():
+    """A device fetch that BLOCKS past the deadline is rescued via
+    TimeoutError (the round-4 axon failure mode: is_ready() never
+    transitions, np.asarray hangs).  Uses a tiny instance deadline so
+    the test is fast."""
+    import time as _time
+
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.core.vocab import parse_vocab
+    from wordpiece_tpu.engine_word import WordEncoder
+    from wordpiece_tpu.runtime import loader
+
+    corpus = make_corpus(400_000)
+    vocab = parse_vocab(make_vocab(corpus, vocab_size=3000))
+    enc = WordEncoder(vocab, device_role="auto")
+    enc.DEVICE_FETCH_TIMEOUT_S = 0.2
+    enc.DEVICE_COMPILE_TIMEOUT_S = 0.2
+
+    def hanging_fetch(handle):
+        _time.sleep(30.0)
+
+    enc._fetch_buckets = hanging_fetch
+    got = enc.encode_bytes(corpus)
+    want = loader.VocabHandle(vocab).encode(loader.decode_utf8(corpus))
+    np.testing.assert_array_equal(got, want)
     assert enc.device_fallbacks >= 1
+    assert "Timeout" in (enc.last_rescue_cause or "")
+
+
+def test_device_role_auto_host_bug_propagates():
+    """A host-side defect in the compact decode (e.g. IndexError) must
+    NOT be silently rescued — only device/link error types are."""
+    import pytest
+
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+    from wordpiece_tpu.core.vocab import parse_vocab
+    from wordpiece_tpu.engine_word import WordEncoder
+
+    corpus = make_corpus(400_000)
+    vocab = parse_vocab(make_vocab(corpus, vocab_size=3000))
+    enc = WordEncoder(vocab, device_role="auto")
+
+    def buggy_fetch(handle):
+        raise IndexError("host-side decode bug")
+
+    enc._fetch_buckets = buggy_fetch
+    with pytest.raises(IndexError):
+        enc.encode_bytes(corpus)
+    assert enc.device_fallbacks == 0

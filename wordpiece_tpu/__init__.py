@@ -27,8 +27,17 @@ import os as _os
 # and a stale entry is a real SIGILL hazard.  CPU compiles are fast;
 # only the remote-TPU compiler needs the cache.
 # Opt out with WORDPIECE_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE") and "cpu" not in _os.environ.get(
-    "JAX_PLATFORMS", ""
+# The cache is enabled only when JAX_PLATFORMS EXPLICITLY names a
+# non-CPU platform: an unset JAX_PLATFORMS silently resolves to the CPU
+# backend on CPU-only hosts, which would re-enable the exact AOT hazard
+# above.  Probing jax.default_backend() here would initialise the
+# backend at import time (seconds through the tunnel), so an explicit
+# env var is the gate; TPU deployments set JAX_PLATFORMS.
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if (
+    not _os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE")
+    and _plat
+    and "cpu" not in _plat
 ):
     try:
         import jax as _jax

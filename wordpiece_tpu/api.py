@@ -278,10 +278,14 @@ def make_encoder(vocab: Vocabulary, engine: str = "fast", *, cache: bool = False
         if loader.available():
             from .engine_word import WordEncoder
 
-            # Production policy "auto": the host oracle computes chunks
-            # that fit its budget while the device recomputes them as an
-            # async cross-check — identical ids, and a device-link stall
-            # can never block an encode (see WordEncoder.__init__).
+            # Production policy "auto": the device path is primary, but
+            # each blocking fetch runs under a deadline on a worker
+            # thread; a fetch that times out or raises a device/link
+            # error is RESCUED by the host oracle (identical ids), and
+            # after repeated rescues the link is latched dead so later
+            # chunks skip dispatch.  Rescue is strictly an exception
+            # path, never a compute policy — see WordEncoder.__init__'s
+            # docstring for the full policy and its measurements.
             return WordEncoder(vocab, cache=cache, device_role="auto")
         if cache:
             raise RuntimeError(

@@ -26,7 +26,7 @@ Pipeline:
 
 from __future__ import annotations
 
-import time
+import threading
 
 import numpy as np
 
@@ -93,22 +93,60 @@ def unpack_emit(emit: np.ndarray, stride: int, n_units: int) -> np.ndarray:
     return units[:n_units, : stride - 1]
 
 
-def _await_ready(arr, timeout_s: float) -> bool:
-    """Poll arr.is_ready() until True or the deadline; never blocks on
-    the array itself.  Verified against the axon tunnel backend: a
-    cross-thread or blocking wait on an IN-FLIGHT array can deadlock
-    there, while is_ready() transitions reliably.  Arrays without
-    is_ready (numpy-backed) count as ready."""
-    deadline = time.monotonic() + timeout_s
-    while True:
+def _fetch_under_deadline(fn, timeout_s: float):
+    """Run fn() — a BLOCKING device fetch — on a fresh daemon thread and
+    wait up to timeout_s.  Returns (True, value) on success, (False,
+    None) on deadline; an exception raised by fn propagates to the
+    caller.
+
+    Why a thread and not is_ready() polling: measured on the axon tunnel
+    backend, an array's is_ready() NEVER transitions to True until a
+    blocking fetch materialises the value (11 s of polling returned
+    False while np.asarray then delivered the result immediately), so
+    readiness polling is not a usable signal there.  A cross-thread
+    blocking np.asarray was measured to work fine (no deadlock).  On
+    timeout the worker stays blocked on the wedged fetch — it is a
+    daemon thread, so it can never block interpreter exit, and each
+    fetch gets a fresh thread so later fetches never queue behind a
+    wedged one."""
+    box: dict = {}
+    done = threading.Event()
+
+    def run():
         try:
-            if arr.is_ready():
-                return True
-        except AttributeError:
-            return True
-        if time.monotonic() >= deadline:
-            return False
-        time.sleep(0.002)
+            box["value"] = fn()
+        except BaseException as e:
+            box["exc"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=run, daemon=True, name="wp-device-fetch")
+    t.start()
+    if not done.wait(timeout_s):
+        return False, None
+    if "exc" in box:
+        raise box["exc"]
+    return True, box["value"]
+
+
+def _device_error_types() -> tuple:
+    """Exception types that indicate a device/link failure (rescued in
+    auto mode) as opposed to a host-side bug (which must propagate:
+    IndexError/ValueError/... from the compact decode stay loud).
+    jax.errors.JaxRuntimeError is the alias for XlaRuntimeError in this
+    jax — it covers the INTERNAL backend errors a wedged axon tunnel
+    throws."""
+    errs: list[type] = [TimeoutError]
+    try:
+        from jax.errors import JaxRuntimeError
+
+        errs.append(JaxRuntimeError)
+    except ImportError:
+        pass
+    return tuple(errs)
+
+
+_DEVICE_ERRORS = _device_error_types()
 
 
 class _TokenStore:
@@ -175,14 +213,24 @@ class WordEncoder:
           - "primary" (default): a device fetch blocks until the result
             arrives, however long that takes.
           - "auto" (chosen by make_encoder for the production path):
-            identical pipeline and identical ids, but the result's
-            readiness is polled (is_ready) under a deadline
-            (DEVICE_FETCH_TIMEOUT_S) before the blocking fetch; a result
-            that is not ready in time, or a fetch that raises (the axon
-            tunnel has stalled for minutes and thrown INTERNAL backend
-            errors mid-run), is RESCUED by encoding that chunk's units
-            with the native host oracle, so an encode always completes.
-            Rescues are counted in self.device_fallbacks.
+            identical pipeline and identical ids, but the blocking fetch
+            runs on a daemon worker thread under a deadline
+            (DEVICE_COMPILE_TIMEOUT_S for this encoder's first fetch,
+            which may include a 30-200 s remote compile;
+            DEVICE_FETCH_TIMEOUT_S after).  A fetch that misses its
+            deadline, or raises a device/link error (the axon tunnel has
+            stalled for minutes and thrown INTERNAL backend errors
+            mid-run), is RESCUED by encoding that chunk's units with the
+            native host oracle, so an encode always completes.  After
+            DEVICE_DEAD_AFTER consecutive rescues the link is latched
+            dead and later chunks skip device dispatch entirely (host
+            oracle path), so a wedged tunnel costs a bounded number of
+            timeouts, not one per chunk.  Rescues are counted in
+            self.device_fallbacks; the latest cause string is kept in
+            self.last_rescue_cause.  NOTE: is_ready() polling is NOT
+            used — on the axon backend is_ready() never transitions
+            until a blocking fetch materialises the array (measured),
+            which is exactly the failure that collapsed round 4's bench.
         An always-race variant (host computes, device cross-checks) was
         measured 38% SLOWER on CJK corpora on a 2-vCPU host — the spare
         "free" overlap the race needs does not exist there — so rescue
@@ -202,6 +250,10 @@ class WordEncoder:
             raise ValueError(f"unknown device_role {device_role!r}")
         self.device_role = device_role
         self.device_fallbacks = 0  # rescued (timed-out / errored) fetches
+        self.last_rescue_cause: str | None = None
+        self._consec_rescues = 0
+        self._device_dead = False  # latched after DEVICE_DEAD_AFTER rescues
+        self._device_fetch_ok = False  # first successful fetch seen
         self._cache_state = None  # (DedupeSession, _TokenStore) when cache
         self._executor = None  # lazy 1-thread pool for pipelined prepares
         self.stats = None  # optional utils.profiling.StageStats
@@ -279,15 +331,16 @@ class WordEncoder:
         sizes = [mats[b].shape[0] for b in nonempty]
         return ("async", out_dev, nonempty, rows, sizes, len(mats), cap, packed, strides)
 
-    def _fetch_buckets(self, handle, no_fallback: bool = False):
+    def _fetch_buckets(self, handle):
         if handle[0] == "sync":
             return handle[1]
         _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
         fused = np.asarray(out_dev)  # ONE D2H transfer
         total = int(fused[0])
         if total > cap:  # >2 ids/unit on average (UNK-heavy / char vocabs)
-            if no_fallback:  # deferred-check path: never launch a 2nd program
-                return None
+            # Launches a SECOND device program; in auto mode this whole
+            # call (including this path) runs inside the deadline thread,
+            # so a tunnel wedge here is still rescued, never a hang.
             return self._fetch_full(packed, strides, nonempty, rows, sizes, n_mats)
         rows_total = sum(rows)
         compact = fused[1 + rows_total : 1 + rows_total + total]
@@ -577,8 +630,16 @@ class WordEncoder:
 
     # device_role="auto": give up on a device fetch after this long and
     # rescue the chunk on the host oracle.  Generous vs the ~50 ms a
-    # healthy fetch takes; small vs the minutes a wedged tunnel costs.
-    DEVICE_FETCH_TIMEOUT_S = 10.0
+    # healthy warm fetch takes (and vs most mid-run shape compiles with
+    # a warm persistent cache); small vs the minutes a wedged tunnel
+    # costs.  The encoder's FIRST fetch instead gets
+    # DEVICE_COMPILE_TIMEOUT_S: it may include a 30-200 s cold compile
+    # through the axon remote compiler, which must not read as a stall.
+    DEVICE_FETCH_TIMEOUT_S = 30.0
+    DEVICE_COMPILE_TIMEOUT_S = 600.0
+    # Consecutive rescues after which the device link is latched dead
+    # and later chunks skip dispatch (bounded cost for a wedged tunnel).
+    DEVICE_DEAD_AFTER = 2
 
     # -- host orchestration ------------------------------------------------
     def _prepare_chunk(
@@ -593,6 +654,14 @@ class WordEncoder:
             occ, nstart, nlen, ncplen = session.segment(data)
         if nstart.shape[0] == 0 and not self.lockstep_dispatch:
             return (occ, None, None, None, None, None, None, None)
+        if self._device_dead and not self.lockstep_dispatch:
+            # Link latched dead (DEVICE_DEAD_AFTER consecutive rescues):
+            # stay on the host oracle, don't pay another timeout.
+            with self._stage("host_scalar_units"):
+                flat, counts = self._scalar.encode_units(
+                    data, nstart, nlen, int(ncplen.sum())
+                )
+            return (occ, nstart, nlen, None, None, None, ("scalar", flat, counts), None)
         if (
             not first
             and not self.lockstep_dispatch
@@ -672,16 +741,31 @@ class WordEncoder:
         the host oracle (bucket_of == -1 at those uids)."""
         with self._stage("device_fetch", len(data)):
             if self.device_role == "auto":
+                timeout = (
+                    self.DEVICE_FETCH_TIMEOUT_S
+                    if self._device_fetch_ok
+                    else self.DEVICE_COMPILE_TIMEOUT_S
+                )
                 try:
-                    if handle[0] == "async" and not _await_ready(
-                        handle[1], self.DEVICE_FETCH_TIMEOUT_S
-                    ):
-                        raise TimeoutError("device result not ready in time")
-                    emits = self._fetch_buckets(handle)
-                except Exception:
-                    # Stalled or errored device link: rescue the chunk on
-                    # the host oracle (identical ids by construction).
+                    ok, emits = _fetch_under_deadline(
+                        lambda: self._fetch_buckets(handle), timeout
+                    )
+                    if not ok:
+                        raise TimeoutError(
+                            f"device fetch not ready within {timeout:.0f}s"
+                        )
+                    self._device_fetch_ok = True
+                    self._consec_rescues = 0
+                except _DEVICE_ERRORS as e:
+                    # Stalled or errored device LINK (host-side bugs are
+                    # not in _DEVICE_ERRORS and propagate): rescue the
+                    # chunk on the host oracle (identical ids by
+                    # construction).
                     self.device_fallbacks += 1
+                    self.last_rescue_cause = repr(e)
+                    self._consec_rescues += 1
+                    if self._consec_rescues >= self.DEVICE_DEAD_AFTER:
+                        self._device_dead = True
                     with self._stage("host_scalar_units"):
                         flat, counts = self._scalar.encode_units(
                             data, nstart, nlen, int(nlen.sum())

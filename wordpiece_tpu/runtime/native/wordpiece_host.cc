@@ -1003,14 +1003,16 @@ int64_t wp_segment_dedupe_mt(const uint8_t* data, int64_t size,
 // per encode call (src/fast.cpp:21-36) — here amortized across the
 // streaming chunk loop instead.
 
-// Session dedupe table with SELF-CONTAINED 32-byte slots: hash, uid,
-// byte length, the unit's first 8 bytes, and its arena offset.  The
-// per-occurrence probe is the hottest loop in the framework, and with
-// the slim (hash, uid) slot every hit chased 2-3 DEPENDENT cache misses
-// (alen[uid] -> astart[uid] -> arena bytes).  A fat slot resolves any
-// unit of <= 8 bytes from the ONE prefetched cache line; only longer
-// units touch the arena (tail compare past byte 8).  Measured: 1-thread
-// session segmentation 93 -> ~180 MB/s on the en bench corpus.
+// Session dedupe table with 16-byte slots (first8, uid, len) — 4 slots
+// per cache line.  The per-occurrence probe is the hottest loop in the
+// framework, and with the original slim (hash, uid) slot every hit
+// chased 2-3 DEPENDENT cache misses (alen[uid] -> astart[uid] -> arena
+// bytes).  Here (len, first8) is the in-slot quick reject, so any unit
+// of <= 8 bytes resolves from the ONE prefetched cache line; only
+// longer units touch the arena (tail compare past byte 8).  No hash or
+// arena offset is stored: grow() rehashes each unit from its (padded)
+// arena bytes instead.  Measured: 1-thread session segmentation
+// 93 -> ~180 MB/s on the en bench corpus.
 struct SessionTable {
   struct Slot {  // 16 bytes -> 4 slots per cache line
     uint64_t first8;  // first min(len, 8) unit bytes, zero-padded
