@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -176,21 +175,13 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    # Persistent compile cache: the driver re-runs this across rounds; the
-    # XLA programs are identical, so later runs skip compilation.
-    import jax
-
-    from wordpiece_tpu.utils.cache_key import cache_dir as _mk_cache_dir
-
-    # Machine-keyed subdir: never load another machine type's AOT entries.
-    cache_dir = _mk_cache_dir(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # Persistent compile cache: wordpiece_tpu/__init__.py configures the
+    # machine-keyed cache (JAX_COMPILATION_CACHE_DIR or
+    # ~/.cache/wordpiece_tpu_xla) at import; setting a different dir here
+    # would just be overridden by that import inside run_one, so the
+    # package default is the single source of truth — the driver re-runs
+    # this across rounds and identical programs skip compilation.
+    import wordpiece_tpu  # noqa: F401  (configures the compile cache)
 
     t_start = time.time()
     results = []

@@ -186,6 +186,15 @@ class _TokenStore:
 class WordEncoder:
     """Deduped unit encoder (the production fast path)."""
 
+    # Program shapes whose device program has been fetched (or at least
+    # dispatched) by THIS process: used to pick the fetch deadline.  Under
+    # the axon backend compilation happens lazily at fetch time, so the
+    # first fetch of a new shape may legitimately take minutes (remote
+    # compile) and must get DEVICE_COMPILE_TIMEOUT_S, not the warm one.
+    # Class-level on purpose: compiled executables are per-process, not
+    # per-encoder.
+    _seen_shapes: set = set()
+
     def __init__(
         self,
         vocab: Vocabulary,
@@ -215,9 +224,11 @@ class WordEncoder:
           - "auto" (chosen by make_encoder for the production path):
             identical pipeline and identical ids, but the blocking fetch
             runs on a daemon worker thread under a deadline
-            (DEVICE_COMPILE_TIMEOUT_S for this encoder's first fetch,
-            which may include a 30-200 s remote compile;
-            DEVICE_FETCH_TIMEOUT_S after).  A fetch that misses its
+            (DEVICE_COMPILE_TIMEOUT_S for the encoder's first fetch and
+            for any fetch whose program shape this process has not run
+            yet — axon compiles lazily at fetch time, so those may
+            include a 30-200 s remote compile; DEVICE_FETCH_TIMEOUT_S
+            for warm shapes after).  A fetch that misses its
             deadline, or raises a device/link error (the axon tunnel has
             stalled for minutes and thrown INTERNAL backend errors
             mid-run), is RESCUED by encoding that chunk's units with the
@@ -329,12 +340,28 @@ class WordEncoder:
             pass
         rows = [pk.shape[0] for pk in packed]
         sizes = [mats[b].shape[0] for b in nonempty]
-        return ("async", out_dev, nonempty, rows, sizes, len(mats), cap, packed, strides)
+        # Compile-vs-warm deadline hint: under the axon backend the
+        # compile happens lazily at FETCH time, so a fetch whose program
+        # shape (row counts x strides x dtypes x cap) has not been run by
+        # this process yet may legitimately take minutes — it must get
+        # the compile deadline, not the warm-fetch one.
+        shape_key = (
+            tuple(rows),
+            tuple(strides),
+            tuple(str(pk.dtype) for pk in packed),
+            cap,
+        )
+        fresh = shape_key not in WordEncoder._seen_shapes
+        WordEncoder._seen_shapes.add(shape_key)
+        return (
+            "async", out_dev, nonempty, rows, sizes, len(mats), cap, packed,
+            strides, fresh,
+        )
 
     def _fetch_buckets(self, handle):
         if handle[0] == "sync":
             return handle[1]
-        _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides = handle
+        _, out_dev, nonempty, rows, sizes, n_mats, cap, packed, strides, _fresh = handle
         fused = np.asarray(out_dev)  # ONE D2H transfer
         total = int(fused[0])
         if total > cap:  # >2 ids/unit on average (UNK-heavy / char vocabs)
@@ -741,9 +768,13 @@ class WordEncoder:
         the host oracle (bucket_of == -1 at those uids)."""
         with self._stage("device_fetch", len(data)):
             if self.device_role == "auto":
+                # A fetch whose program shape has not been run by this
+                # process yet may include a lazy remote compile (axon
+                # compiles at fetch time): give it the compile deadline.
+                fresh = handle[0] == "async" and handle[-1]
                 timeout = (
                     self.DEVICE_FETCH_TIMEOUT_S
-                    if self._device_fetch_ok
+                    if self._device_fetch_ok and not fresh
                     else self.DEVICE_COMPILE_TIMEOUT_S
                 )
                 try:
