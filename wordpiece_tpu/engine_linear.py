@@ -1,27 +1,43 @@
 """Linear (suffix-array) encoder — the reference's second algorithm,
 re-architected for TPU (SURVEY.md §7 step 5).
 
-Pipeline (mirrors src/linear.cpp:72-319 semantically):
-  1. S = text · sep · tok_1 · sep · … · tok_k · sep  (layout at
-     src/linear.cpp:87-101; here sep sorts below every codepoint, which
-     removes the reference's latent sep/codepoint-1 collision);
-  2. suffix ORDER of S clamped at max_len: one multi-key sort over the
-     first max_len symbols packed into int32 keys (ops/suffix_array.py
-     kgram_rank_lcp — replaces both libsais SA-IS and round-1's prefix
-     doubling; the sweeps in step 4 only ever observe LCP clamped at
-     max_len, so this order is provably sufficient);
-  3. LCP of adjacent suffixes, clamped at max_len, read off the sorted
-     keys (no gathers);
-  4. four surviving-slot scans (left/right x prefix/suffix kind) — the
-     associative-scan reformulation of the monotone stack
+The reference builds S = text · sep · tok_1 · sep · … · tok_k · sep and
+suffix-sorts ALL of it (src/linear.cpp:87-101), even though only the k
+token START positions ever enter its who-tables (src/linear.cpp:153-160)
+— the tokens' non-start suffixes are dead weight in the sort and the
+sweeps (~6x the token count for a bert-shaped vocab).  The TPU design
+drops them: each vocab token is ONE sort element whose key is its own
+symbols, precomputed per vocabulary.
+
+Pipeline per batch (one fused jit program — a single host->device
+dispatch and device->host fetch, critical behind a remote-tunnel device):
+  1. text suffixes' first-max_len symbols packed into nk int32 keys
+     (dense per-VOCAB alphabet; text symbols foreign to the vocabulary
+     collapse into one FOREIGN code — see correctness note below);
+  2. text keys ++ precomputed token keys sorted together (nk stable
+     radix passes over nx + V elements — vs nx + 6V + pad upstream);
+  3. LCP of adjacent elements, clamped at max_len, read off the keys;
+  4. who-tables by GATHER from the sorted element ids (the token id
+     space is contiguous — no scatter);
+  5. four surviving-slot scans (left/right x prefix/suffix kind) — the
+     closed-form reformulation of the monotone stack
      (src/linear.cpp:161-213), yielding ALL tokens matching each text
      suffix;
-  5. window-capped longest-match selection + the shared greedy commit
+  6. window-capped longest-match selection + the shared greedy commit
      (ops/commit.py), identical to the Fast engine's output.
 
-Steps 2-5 (plus the who-table scatter and text features) compile into ONE
-jit program per shape bucket: a batch costs a single host->device dispatch
-and a single device->host fetch — critical behind a remote-tunnel device.
+Correctness of the two non-reference liberties, both resting on the
+ultrametric property of clamped LCP (lcp(a,c) = min over the adjacent
+lcps between a and c in ANY lexicographically consistent order):
+ - dropping non-start token suffixes removes elements from the sorted
+   order; adjacent-min telescoping over the remaining elements still
+   yields the exact pairwise clamped LCPs between survivors;
+ - collapsing foreign text symbols to one code can inflate LCP only
+   between two TEXT suffixes (tokens contain no foreign symbol, so
+   token<->suffix comparisons mismatch exactly where the true symbols
+   do); the sweeps observe token<->suffix LCPs as path minima, which the
+   ultrametric pins to the exact pairwise value regardless of inflated
+   text<->text edges in between.
 
 Note on parity: output ids equal the Fast engine (and the reference's
 differential guarantee, tests/tests.cpp:90-97) including the probe-window
@@ -41,7 +57,7 @@ from .core.vocab import Vocabulary
 from .ops import commit as commit_ops
 from .ops import text_features
 from .ops.linear_match import match_from_sa
-from .ops.suffix_array import kgram_plan, kgram_rank_lcp, lcp_clamped, suffix_array
+from .ops.suffix_array import lcp_clamped, suffix_array
 
 
 @partial(
@@ -49,13 +65,13 @@ from .ops.suffix_array import kgram_plan, kgram_rank_lcp, lcp_clamped, suffix_ar
     static_argnames=("bits", "per", "nk", "max_len", "unk_id"),
 )
 def _linear_batch_device(
-    s_dense: jax.Array,  # int32[n_s] dense symbols; pad = 2^bits - 1
-    cps_pad: jax.Array,  # int32[n_text_pad] raw codepoints, pad 32
+    x_dense: jax.Array,  # int32[np_] dense text symbols; pad = 2^bits - 1
+    cps_pad: jax.Array,  # int32[np_] raw codepoints, pad 32
     n_text: jax.Array,  # int32 scalar: true text length
-    tok_starts: jax.Array,  # int32[V_e] token offsets within the vocab tail
-    tok_len: jax.Array,  # int32[V_e]
-    tok_id: jax.Array,  # int32[V_e]
-    tok_kind: jax.Array,  # int32[V_e]: 1 prefix, 0 suffix
+    tok_keys: jax.Array,  # int32[nk, V_pad] precomputed token sort keys
+    tok_len: jax.Array,  # int32[V_pad] (0 on pad rows)
+    tok_id: jax.Array,  # int32[V_pad] (-1 on pad rows)
+    tok_kind: jax.Array,  # int32[V_pad]: 1 prefix, 0 suffix, -1 pad
     *,
     bits: int,
     per: int,
@@ -63,17 +79,70 @@ def _linear_batch_device(
     max_len: int,
     unk_id: int,
 ):
-    """The whole linear batch as one device program: clamped suffix sort +
-    LCP + who-table scatter + 4 sweeps + match + greedy commit."""
-    n_s = s_dense.shape[0]
-    _sa, rank, lcp = kgram_rank_lcp(s_dense, bits=bits, per=per, nk=nk, clamp=max_len)
+    """The whole linear batch as one device program: packed text keys ++
+    token keys -> nk stable radix passes -> key-local clamped LCP ->
+    who-tables by gather -> 4 sweeps -> match -> greedy commit.
 
-    # who arrays indexed by SA rank (src/linear.cpp:153-160), built by
-    # device scatter — ranks are a permutation, so no collisions.
-    tok_rank = rank[jnp.minimum(n_text + 1 + tok_starts, jnp.int32(n_s - 1))]
-    who_len = jnp.zeros(n_s, jnp.int32).at[tok_rank].set(tok_len)
-    who_id = jnp.full(n_s, -1, jnp.int32).at[tok_rank].set(tok_id)
-    who_kind = jnp.full(n_s, -1, jnp.int32).at[tok_rank].set(tok_kind)
+    Element ids: 0..np_-1 are text suffixes (id == text position),
+    np_..np_+V_pad-1 are vocab tokens.  Ties between a token and an
+    identical text suffix order text-first (stable sort by element id);
+    either order is sound — the left/right sweep union covers both.
+    """
+    np_ = x_dense.shape[0]
+    nv = tok_len.shape[0]
+    nm = np_ + nv
+    pad_sym = jnp.int32((1 << bits) - 1)
+
+    # Text suffix keys: symbol t of key j is bits-wide at shift
+    # bits*(per-1-t); reads past the end see pad_sym.
+    x_ext = jnp.concatenate([x_dense, jnp.full((nk * per,), pad_sym, x_dense.dtype)])
+    keys = []
+    for j in range(nk):
+        k = jnp.zeros(np_, jnp.int32)
+        for t in range(per):
+            off = j * per + t
+            k = (k << bits) | x_ext[off : off + np_]
+        keys.append(jnp.concatenate([k, tok_keys[j]]))
+    keys = jnp.stack(keys)  # [nk, nm]
+
+    idx = jnp.arange(nm, dtype=jnp.int32)
+
+    def body(j, perm):
+        d = keys[nk - 1 - j][perm]
+        _, perm = jax.lax.sort((d, perm), num_keys=1, is_stable=True)
+        return perm
+
+    # LSD radix: nk iterations of ONE compiled 2-operand stable sort
+    # (XLA:TPU sort compile time grows steeply with operand count).
+    sa = jax.lax.fori_loop(0, nk, body, idx)
+    rank = jnp.zeros(nm, jnp.int32).at[sa].set(idx)
+
+    # Clamped LCP between sorted neighbours, read off the keys.
+    mask = jnp.int32((1 << bits) - 1)
+    alive = jnp.ones(nm, dtype=bool)
+    lcp = jnp.zeros(nm, jnp.int32)
+    counted = 0
+    for j in range(nk):
+        if counted >= max_len:
+            break
+        kj = keys[j][sa]
+        nxt = jnp.concatenate([kj[1:], kj[-1:]])
+        for t in range(per):
+            if counted >= max_len:
+                break
+            shift = bits * (per - 1 - t)
+            eq = ((kj >> shift) & mask) == ((nxt >> shift) & mask)
+            alive = alive & eq
+            lcp = lcp + alive
+            counted += 1
+    lcp = jnp.where(idx < nm - 1, lcp, 0)
+
+    # who arrays by GATHER: sorted element sa[r] >= np_ is token sa[r]-np_.
+    is_tok = sa >= np_
+    tj = jnp.clip(sa - np_, 0, nv - 1)
+    who_len = jnp.where(is_tok, tok_len[tj], 0)
+    who_id = jnp.where(is_tok, tok_id[tj], -1)
+    who_kind = jnp.where(is_tok, tok_kind[tj], -1)
 
     feats = text_features.compute_features(cps_pad, n_text, max_len)
     best_id, best_len = match_from_sa(
@@ -125,20 +194,76 @@ class LinearEncoder:
         self._kind = np.where(
             self._eligible, vocab.is_prefix.astype(np.int32), -1
         )
-        # Device-resident eligible-token tables for the fused batch.
-        sel = np.asarray(self._eligible, dtype=bool)
-        self._d_tok_starts = jnp.asarray(starts[sel].astype(np.int32))
-        self._d_tok_len = jnp.asarray(lens[sel].astype(np.int32))
-        self._d_tok_id = jnp.asarray(np.arange(vocab.size, dtype=np.int32)[sel])
-        self._d_tok_kind = jnp.asarray(self._kind[sel].astype(np.int32))
-        # Sorted distinct symbols of the vocab tail (text symbols union in
-        # per batch); separator -1 sorts below every codepoint and is
-        # always present (even for an empty vocab: S ends with one sep).
-        self._vocab_alpha = np.union1d(
-            self._vocab_tail, np.array([-1], dtype=np.int32)
-        ).astype(np.int32)
+        self._merge = self._build_merge_tables()
         self.stats = None  # optional utils.profiling.StageStats
         self._executor = None  # lazy 1-thread pool for pipelined prepares
+
+    def _build_merge_tables(self):
+        """Per-vocabulary constants of the fused batch program: the dense
+        alphabet LUT and the packed per-token sort keys.
+
+        Dense codes: 0 = token pad (sorts below every symbol, playing the
+        reference's separator role, src/linear.cpp:87-101), 1..sigma =
+        the distinct symbols of eligible tokens, sigma+1 = FOREIGN (every
+        text symbol outside the vocab alphabet — sound per the module
+        docstring), 2^bits - 1 = text pad (sorts above everything).
+        Returns None when the key count would degenerate (huge alphabet x
+        huge max token length) — callers fall back to prefix doubling."""
+        vocab = self.vocab
+        sel = np.asarray(self._eligible, dtype=bool)
+        tok_ids = np.arange(vocab.size, dtype=np.int32)[sel]
+        max_len = self.max_len
+        syms = (
+            np.unique(np.concatenate([vocab.word(int(i)) for i in tok_ids]))
+            if tok_ids.size
+            else np.zeros(0, np.uint32)
+        ).astype(np.int64)
+        sigma = int(syms.shape[0])
+        foreign = sigma + 1
+        bits = max(1, int(sigma + 2).bit_length())  # pad_sym > foreign
+        per = max(1, min(30 // bits, max_len))
+        nk = -(-max_len // per)
+        if nk > 24:
+            return None
+        lut = np.full(0x110001, foreign, dtype=np.int32)
+        lut[syms] = 1 + np.arange(sigma, dtype=np.int32)
+        nv = int(tok_ids.size)
+        nv_pad = max(128, -(-nv // 128) * 128)
+        symmat = np.zeros((nv_pad, max_len), dtype=np.int32)  # 0 = token pad
+        for r, i in enumerate(tok_ids):
+            w = vocab.word(int(i))
+            symmat[r, : w.shape[0]] = lut[w.astype(np.int64)]
+        keys = np.zeros((nk, nv_pad), dtype=np.int32)
+        for j in range(nk):
+            k = np.zeros(nv_pad, dtype=np.int32)
+            for t in range(per):
+                sym = (
+                    symmat[:, j * per + t]
+                    if j * per + t < max_len
+                    else np.zeros(nv_pad, np.int32)
+                )
+                k = (k << bits) | sym
+            keys[j] = k
+        # Pad token rows: every key all-pad (sorts last, pushes nothing).
+        pad_key = np.int32((1 << min(bits * per, 31)) - 1)
+        keys[:, nv:] = pad_key
+        t_len = np.zeros(nv_pad, dtype=np.int32)
+        t_len[:nv] = self._tok_lens[sel].astype(np.int32)
+        t_id = np.full(nv_pad, -1, dtype=np.int32)
+        t_id[:nv] = tok_ids
+        t_kind = np.full(nv_pad, -1, dtype=np.int32)
+        t_kind[:nv] = self._kind[sel].astype(np.int32)
+        return {
+            "lut": lut,
+            "bits": bits,
+            "per": per,
+            "nk": nk,
+            "nv_pad": nv_pad,
+            "tok_keys": jnp.asarray(keys),
+            "tok_len": jnp.asarray(t_len),
+            "tok_id": jnp.asarray(t_id),
+            "tok_kind": jnp.asarray(t_kind),
+        }
 
     def _stage(self, name, nbytes=0):
         import contextlib
@@ -165,6 +290,9 @@ class LinearEncoder:
     def MAX_TEXT_BATCH(self) -> int:
         if getattr(self, "_max_text_batch", None) is not None:
             return self._max_text_batch
+        if self._merge is not None:
+            # Sorted elements per batch = text positions + one per token.
+            return max(1 << 15, self.MAX_S - int(self._merge["nv_pad"]))
         return max(1 << 15, self.MAX_S - int(self._vocab_tail.shape[0]) - 64)
 
     @MAX_TEXT_BATCH.setter
@@ -347,49 +475,34 @@ class LinearEncoder:
 
     def _encode_batch(self, cps: np.ndarray, with_positions: bool = False):
         n = int(cps.shape[0])
-
-        # S = text · sep · vocab_tail  (src/linear.cpp:87-101), densely
-        # remapped to [0, sigma) so max_len symbols pack into a few int32
-        # sort keys; pad = 2^bits - 1 (> every dense symbol: pad suffixes
-        # sort last, push no tokens, and the commit phase never visits
-        # them).  Shapes bucket so compiled programs are reused across
-        # corpus sizes.
-        s_core = np.concatenate(
-            [cps, np.array([-1], dtype=np.int32), self._vocab_tail]
-        )
-        n_core = s_core.shape[0]
-        if n_core > 1_000_000_000:
-            raise ValueError("64-bit suffix arrays not supported")
-        # Dense alphabet: vocab symbols are pre-sorted; union with the
-        # batch's text symbols.
-        alpha = np.union1d(np.unique(cps), self._vocab_alpha)
-        plan = kgram_plan(int(alpha.shape[0]), self.max_len)
-        if plan is None:  # pragma: no cover - huge alphabet x huge token
+        m = self._merge
+        if m is None:  # pragma: no cover - huge alphabet x huge token
             return self._encode_batch_doubling(cps, with_positions)
-        bits, per, nk = plan
-        s_dense = np.searchsorted(alpha, s_core).astype(np.int32)
-        n_s = _bucket(n_core)
-        pad_sym = (1 << bits) - 1
-        s_host = np.full(n_s, pad_sym, dtype=np.int32)
-        s_host[:n_core] = s_dense
 
-        # Text padded as well (pad = space: skipped by the walk, emits
-        # nothing) so features/match/commit shapes bucket.
-        n_text_pad = _bucket(n)
-        cps_pad = np.full(n_text_pad, 32, dtype=np.int32)
+        # Dense text symbols via the per-vocab LUT (one gather on host —
+        # no per-batch alphabet union/searchsorted); pad = 2^bits - 1
+        # (sorts last, pushes no tokens, the commit never visits it).
+        # Raw codepoints pad as spaces (skipped by the walk).  One shared
+        # pad length buckets both arrays so programs are reused across
+        # corpus sizes.
+        np_ = _bucket(n)
+        pad_sym = (1 << m["bits"]) - 1
+        x_dense = np.full(np_, pad_sym, dtype=np.int32)
+        x_dense[:n] = m["lut"][np.clip(cps, 0, 0x110000)]
+        cps_pad = np.full(np_, 32, dtype=np.int32)
         cps_pad[:n] = cps
 
         ids, positions, count = _linear_batch_device(
-            jnp.asarray(s_host),
+            jnp.asarray(x_dense),
             jnp.asarray(cps_pad),
             jnp.int32(n),
-            self._d_tok_starts,
-            self._d_tok_len,
-            self._d_tok_id,
-            self._d_tok_kind,
-            bits=bits,
-            per=per,
-            nk=nk,
+            m["tok_keys"],
+            m["tok_len"],
+            m["tok_id"],
+            m["tok_kind"],
+            bits=m["bits"],
+            per=m["per"],
+            nk=m["nk"],
             max_len=self.max_len,
             unk_id=int(self.vocab.unk_token_id),
         )
