@@ -158,3 +158,26 @@ def test_linear_encode_bytes_multibatch_units():
     enc2 = LinearEncoder(vocab)
     want = enc2.encode_codepoints(np.asarray(uni.decode_utf8(text.encode())))
     assert np.array_equal(got, want)
+
+
+def test_linear_compact_overflow_refetch():
+    """A compact-output capacity overflow (count > cap) must transparently
+    re-fetch via the full program with identical ids, and the cap ratio
+    must adapt upward so later batches avoid double execution."""
+    from wordpiece_tpu.core import unicode as uni
+    from wordpiece_tpu.core.vocab import parse_vocab as _pv
+    from wordpiece_tpu.engine_linear import LinearEncoder
+    from wordpiece_tpu.runtime import loader
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(120_000)
+    vocab = _pv(make_vocab(data, vocab_size=2000))
+    enc = LinearEncoder(vocab)
+    enc._cap_ratio = 0.0001  # force cap far below the real id count
+    got = enc.encode_bytes(data)
+    assert enc._cap_ratio > 0.01, "observed density must adapt the ratio"
+    oracle = loader.VocabHandle(vocab).encode(uni.decode_utf8(data))
+    assert np.array_equal(got, oracle)

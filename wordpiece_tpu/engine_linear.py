@@ -60,13 +60,9 @@ from .ops.linear_match import match_from_sa
 from .ops.suffix_array import lcp_clamped, suffix_array
 
 
-@partial(
-    jax.jit,
-    static_argnames=("bits", "per", "nk", "max_len", "unk_id"),
-)
-def _linear_batch_device(
-    x_dense: jax.Array,  # int32[np_] dense text symbols; pad = 2^bits - 1
-    cps_pad: jax.Array,  # int32[np_] raw codepoints, pad 32
+def _linear_batch_core(
+    x_dense: jax.Array,  # int[np_] dense text symbols; pad = 2^bits - 1
+    cps_pad: jax.Array,  # int[np_] raw codepoints, pad 32
     n_text: jax.Array,  # int32 scalar: true text length
     tok_keys: jax.Array,  # int32[nk, V_pad] precomputed token sort keys
     tok_len: jax.Array,  # int32[V_pad] (0 on pad rows)
@@ -87,7 +83,12 @@ def _linear_batch_device(
     np_..np_+V_pad-1 are vocab tokens.  Ties between a token and an
     identical text suffix order text-first (stable sort by element id);
     either order is sound — the left/right sweep union covers both.
+
+    x_dense/cps_pad may arrive narrowed (uint16) — the tunnel's ~25 MB/s
+    makes H2D bytes a critical-path item; widen on device.
     """
+    x_dense = x_dense.astype(jnp.int32)
+    cps_pad = cps_pad.astype(jnp.int32)
     np_ = x_dense.shape[0]
     nv = tok_len.shape[0]
     nm = np_ + nv
@@ -158,6 +159,28 @@ def _linear_batch_device(
     )
     return commit_ops.commit_with_positions(
         best_id, best_len, feats, n_text, unk_id=unk_id
+    )
+
+
+@partial(jax.jit, static_argnames=("bits", "per", "nk", "max_len", "unk_id"))
+def _linear_batch_device(*args, **kwargs):
+    """Full-output variant: (ids[np_], positions[np_], count)."""
+    return _linear_batch_core(*args, **kwargs)
+
+
+@partial(
+    jax.jit, static_argnames=("bits", "per", "nk", "max_len", "unk_id", "cap")
+)
+def _linear_batch_compact(*args, cap: int, **kwargs):
+    """Compact-output variant: ONE int32[1 + 2*cap] array — [count,
+    ids[:cap], positions[:cap]] — so a batch costs ONE D2H transfer
+    instead of three sequential tunnel round trips (count scalar, ids,
+    positions).  count > cap (capacity overflow) is detected on host and
+    re-fetched via the full variant (the word engine's proven pattern,
+    engine_word._fetch_buckets)."""
+    ids, positions, count = _linear_batch_core(*args, **kwargs)
+    return jnp.concatenate(
+        [jnp.reshape(count, (1,)).astype(jnp.int32), ids[:cap], positions[:cap]]
     )
 
 
@@ -400,25 +423,63 @@ class LinearEncoder:
             handle = self._dispatch_batch(cps)
         return (u, v, handle)
 
+    # Compact-output capacity as a fraction of batch codepoints.  Emitted
+    # ids never exceed the batch's codepoint count (every id consumes at
+    # least one codepoint; a rolled-back word emits ONE UNK), so the cap
+    # never needs to exceed n.  The ratio adapts upward per encoder when
+    # a corpus emits denser id streams (CJK singles), trading a few extra
+    # D2H bytes for avoiding the double-execution overflow path.
+    _cap_ratio = 0.55
+
+    def _out_cap(self, n: int) -> int:
+        want = int(n * self._cap_ratio) + 4096
+        return min(_bucket(max(8192, want)), _bucket(n))
+
     def _dispatch_batch(self, cps: np.ndarray):
         """Async device dispatch of one batch; pair with _fetch_batch."""
-        out = self._encode_batch(cps, with_positions=True)
-        if isinstance(out, tuple) and len(out) == 3:
-            ids, positions, count = out
+        handle = self._encode_batch(cps, as_handle=True)
+        if handle[0] == "compact":
             try:
-                count.copy_to_host_async()
+                handle[1].copy_to_host_async()
             except AttributeError:  # pragma: no cover - numpy fallback
                 pass
-            return (ids, positions, count)
-        return out  # pragma: no cover - defensive
+        return handle
 
     def _fetch_batch(self, handle):
-        ids, positions, count = handle
-        count = int(count)
-        return (
-            np.asarray(ids[:count]),
-            np.asarray(positions[:count]),
+        """-> (ids np.int32[count], positions np.int32[count])."""
+        tag = handle[0]
+        if tag == "full":  # doubling fallback: device triple
+            _, ids, positions, count = handle
+            count = int(count)
+            return (np.asarray(ids)[:count], np.asarray(positions)[:count])
+        _, fused, cap, (x_host, cps_host, n) = handle
+        f = np.asarray(fused)  # ONE D2H transfer
+        count = int(f[0])
+        # Adapt the cap ratio toward the observed density (+15% headroom).
+        if n:
+            ratio = min(1.0, count / n * 1.15)
+            if ratio > self._cap_ratio:
+                self._cap_ratio = ratio
+        if count <= cap:
+            return (f[1 : 1 + count], f[1 + cap : 1 + cap + count])
+        # Capacity overflow (id stream denser than cap): re-run the full
+        # program and fetch everything (rare; ratio has adapted).
+        m = self._merge
+        ids, positions, _cnt = _linear_batch_device(
+            jnp.asarray(x_host),
+            jnp.asarray(cps_host),
+            jnp.int32(n),
+            m["tok_keys"],
+            m["tok_len"],
+            m["tok_id"],
+            m["tok_kind"],
+            bits=m["bits"],
+            per=m["per"],
+            nk=m["nk"],
+            max_len=self.max_len,
+            unk_id=int(self.vocab.unk_token_id),
         )
+        return (np.asarray(ids)[:count], np.asarray(positions)[:count])
 
     def _encode_units_scalar(self, data, occ, ustart, ulen, ucplen) -> np.ndarray:
         """Long-token vocab fallback: native scalar encode of each unique
@@ -473,26 +534,36 @@ class LinearEncoder:
             return np.concatenate(outs) if outs else np.zeros(0, np.int32)
         return self._encode_batch(cps)
 
-    def _encode_batch(self, cps: np.ndarray, with_positions: bool = False):
+    def _encode_batch(self, cps: np.ndarray, as_handle: bool = False):
+        """One text batch.  as_handle=True returns an async handle for
+        _fetch_batch (the pipelined path); otherwise returns the batch's
+        ids as a host array."""
         n = int(cps.shape[0])
         m = self._merge
         if m is None:  # pragma: no cover - huge alphabet x huge token
-            return self._encode_batch_doubling(cps, with_positions)
+            out = self._encode_batch_doubling(cps, with_positions=as_handle)
+            if as_handle:
+                return ("full",) + tuple(out)
+            return out
 
         # Dense text symbols via the per-vocab LUT (one gather on host —
         # no per-batch alphabet union/searchsorted); pad = 2^bits - 1
         # (sorts last, pushes no tokens, the commit never visits it).
         # Raw codepoints pad as spaces (skipped by the walk).  One shared
         # pad length buckets both arrays so programs are reused across
-        # corpus sizes.
+        # corpus sizes.  Both ship uint16 when values fit (pad included)
+        # — H2D bytes over the tunnel halve; the device widens.
         np_ = _bucket(n)
         pad_sym = (1 << m["bits"]) - 1
-        x_dense = np.full(np_, pad_sym, dtype=np.int32)
+        xdt = np.uint16 if pad_sym <= 0xFFFF else np.int32
+        x_dense = np.full(np_, pad_sym, dtype=xdt)
         x_dense[:n] = m["lut"][np.clip(cps, 0, 0x110000)]
-        cps_pad = np.full(np_, 32, dtype=np.int32)
+        cdt = np.uint16 if (n == 0 or int(cps.max()) <= 0xFFFF) else np.int32
+        cps_pad = np.full(np_, 32, dtype=cdt)
         cps_pad[:n] = cps
+        cap = self._out_cap(n)
 
-        ids, positions, count = _linear_batch_device(
+        fused = _linear_batch_compact(
             jnp.asarray(x_dense),
             jnp.asarray(cps_pad),
             jnp.int32(n),
@@ -505,11 +576,13 @@ class LinearEncoder:
             nk=m["nk"],
             max_len=self.max_len,
             unk_id=int(self.vocab.unk_token_id),
+            cap=cap,
         )
-        if with_positions:
-            return ids, positions, count
-        count = int(count)
-        return np.asarray(ids[:count])
+        handle = ("compact", fused, cap, (x_dense, cps_pad, n))
+        if as_handle:
+            return handle
+        ids, _positions = self._fetch_batch(handle)
+        return np.asarray(ids)
 
     def _encode_batch_doubling(self, cps: np.ndarray, with_positions: bool = False):
         """Fallback batch using the prefix-doubling SA (kept for alphabets

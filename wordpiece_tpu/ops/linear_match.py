@@ -7,8 +7,8 @@ the stack top at each position is the longest vocab token that prefixes
 that suffix.  Since surviving tokens are nested prefixes of the current
 suffix, the stack is at most max_len deep and is representable as a
 fixed array of slots indexed BY LENGTH — and each length's slot has a
-closed form over running maxima (see surviving_slots), so the whole
-sequential stack walk becomes two batched cummax passes and a gather.
+closed form over running maxima (see surviving_push), so the whole
+sequential stack walk becomes two batched cummax passes.
 
 Four scans (left/right x prefix/suffix kind) as in the reference; the
 union of the four slot sets gives, per SA position, ALL vocab tokens
@@ -18,6 +18,15 @@ containing interior spacing characters — a case where the reference's
 linear algorithm would silently diverge from its fast one (no window
 check in match_word_piece, src/linear.cpp:221-274; the divergence is
 untested upstream because the stress vocabs are a-z only).
+
+TPU shape notes (why slots carry PUSH POSITIONS, not token ids): the
+natural formulation gathers push_id[lastpush] over the full [n, max_len]
+slot matrix — ~10M elementwise gathers per batch, the slowest op class
+on TPU.  Positions ARE the cummax values (no indexing), so the id gather
+can wait until after per-text-position length selection: one gather per
+text position per (kind, side), ~40x less gather volume.  The kill scan
+depends only on the LCP edges, so it is computed once per direction and
+shared by both kinds.
 """
 
 from __future__ import annotations
@@ -28,46 +37,50 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("max_len",))
-def surviving_slots(
+def surviving_push(
     lcp_edge: jax.Array,  # int32[n]: LCP between position p-1 and p (p=0 -> big)
     push_len: jax.Array,  # int32[n]: token length pushed at p (0 = none)
-    push_id: jax.Array,  # int32[n]
+    lastkill: jax.Array,  # int32[max_len, n]: latest r <= p with lcp_edge[r] < l
     *,
     max_len: int,
 ) -> jax.Array:
-    """Inclusive monotone-stack scan; returns slots int32[n, max_len].
+    """Inclusive monotone-stack scan; returns push positions
+    int32[max_len, n] (-1 where no surviving push).
 
-    slots[p, l-1] = id of the token of length l pushed at the LATEST
-    position q <= p that still survives at p.  Survival means every edge
-    strictly after q up to p has LCP >= l (the stack-filter condition);
+    out[l-1, p] = the LATEST position q <= p that pushed a token of
+    length l and still survives at p.  Survival means every edge strictly
+    after q up to p has LCP >= l (the stack-filter condition);
     equivalently q >= lastkill_l[p], where lastkill_l[p] is the latest
     position r <= p whose entering edge has lcp_edge[r] < l (the edge at
     r sits BEFORE r's own push, so a push at r survives its own edge).
 
     This closed form replaces the associative slot scan: per length it is
-    two running maxima and a gather — XLA's cummax lowers to a tiny
-    program, where associative_scan over [n, max_len] slot state
-    generated an HLO graph that took minutes to compile on TPU at
-    n ~ 4e5 (the run cost is also lower: 2 cummax passes vs log2(n)
-    combine levels over the full slot matrix).
+    one running maximum against a shared kill table — XLA's cummax
+    lowers to a tiny program, where associative_scan over [n, max_len]
+    slot state generated an HLO graph that took minutes to compile on
+    TPU at n ~ 4e5 (the run cost is also lower: cummax passes vs
+    log2(n) combine levels over the full slot matrix).
     """
     n = lcp_edge.shape[0]
-    M = max_len
     pos = jnp.arange(n, dtype=jnp.int32)
-    lens = jnp.arange(1, M + 1, dtype=jnp.int32)
+    lens = jnp.arange(1, max_len + 1, dtype=jnp.int32)
 
     # lastpush[l-1, p]: latest q <= p with push_len[q] == l (-1 if none).
     ppos = jnp.where(push_len[None, :] == lens[:, None], pos[None, :], -1)
     lastpush = jax.lax.cummax(ppos, axis=1)
-    # lastkill[l-1, p]: latest r <= p with lcp_edge[r] < l (0 if none;
-    # a kill at r=0 is vacuous — no pushes precede position 0).
-    kpos = jnp.where(lcp_edge[None, :] < lens[:, None], pos[None, :], 0)
-    lastkill = jax.lax.cummax(kpos, axis=1)
-
     alive = (lastpush >= 0) & (lastpush >= lastkill)
-    ids = push_id[jnp.maximum(lastpush, 0)]
-    return jnp.where(alive, ids, -1).T
+    return jnp.where(alive, lastpush, -1)
+
+
+def _lastkill(lcp_edge: jax.Array, *, max_len: int) -> jax.Array:
+    """int32[max_len, n]: latest r <= p with lcp_edge[r] < l (0 if none;
+    a kill at r=0 is vacuous — no pushes precede position 0).  Depends
+    only on the edges: shared by both kinds of one direction."""
+    n = lcp_edge.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    lens = jnp.arange(1, max_len + 1, dtype=jnp.int32)
+    kpos = jnp.where(lcp_edge[None, :] < lens[:, None], pos[None, :], 0)
+    return jax.lax.cummax(kpos, axis=1)
 
 
 @partial(jax.jit, static_argnames=("max_len",))
@@ -93,39 +106,40 @@ def match_from_sa(
     # right-sweep (descending r) edge entering r is lcp[r] (big at n-1).
     lcp_left = jnp.concatenate([jnp.full((1,), big, jnp.int32), lcp[:-1]])
     lcp_rev = jnp.flip(lcp).at[0].set(big)  # reversed-coordinate edges
-    slots_acc = []
-    for kind in (1, 0):
-        push = who_kind == kind
-        plen = jnp.where(push, who_len, 0)
-        pid = jnp.where(push, who_id, -1)
-        left = surviving_slots(lcp_left, plen, pid, max_len=max_len)
-        right_rev = surviving_slots(
-            lcp_rev, jnp.flip(plen), jnp.flip(pid), max_len=max_len
-        )
-        right = jnp.flip(right_rev, axis=0)
-        slots_acc.append((left, right))
+    kill_left = _lastkill(lcp_left, max_len=max_len)
+    kill_rev = _lastkill(lcp_rev, max_len=max_len)
 
-    # Per text position: union of its kind's left/right slots, capped.
-    # Positions beyond the true text (space padding) read clamped garbage
-    # ranks; the commit phase never visits them.
     pos = jnp.arange(n_text, dtype=jnp.int32)
     r_text = rank[jnp.minimum(pos, jnp.int32(n_s - 1))]  # SA rank per text suffix
     lens = jnp.arange(1, max_len + 1, dtype=jnp.int32)
+    last = jnp.int32(n_s - 1)
 
-    def best_of(slots_pair):
-        left, right = slots_pair
-        sl = left[r_text]
-        sr = right[r_text]
-        merged = jnp.where(sr >= 0, sr, sl)
-        ok = (merged >= 0) & (lens[None, :] <= window[:, None])
-        # Longest valid length.
+    def best_of(kind):
+        push = who_kind == kind
+        plen = jnp.where(push, who_len, 0)
+        # Push positions surviving at each rank, [max_len, n_s]; the
+        # right sweep runs in reversed coordinates and converts back.
+        left_q = surviving_push(lcp_left, plen, kill_left, max_len=max_len)
+        right_qr = surviving_push(
+            lcp_rev, jnp.flip(plen), kill_rev, max_len=max_len
+        )
+        # Per text position: its rank's slots, [n_text, max_len].
+        sl = left_q[:, r_text].T
+        sr_r = right_qr[:, last - r_text].T
+        sr = jnp.where(sr_r >= 0, last - sr_r, -1)  # reversed -> true rank
+        merged_q = jnp.where(sr >= 0, sr, sl)
+        ok = (merged_q >= 0) & (lens[None, :] <= window[:, None])
         best_l = jnp.max(jnp.where(ok, lens[None, :], 0), axis=1)
         take = (lens[None, :] == best_l[:, None]) & ok
-        best_i = jnp.max(jnp.where(take, merged, -1), axis=1)
+        best_q = jnp.max(jnp.where(take, merged_q, -1), axis=1)
+        # ONE id gather per text position, after selection.
+        best_i = jnp.where(
+            best_q >= 0, who_id[jnp.maximum(best_q, 0)], -1
+        )
         return best_i, best_l
 
-    id_p, len_p = best_of(slots_acc[0])
-    id_s, len_s = best_of(slots_acc[1])
+    id_p, len_p = best_of(1)
+    id_s, len_s = best_of(0)
     best_id = jnp.where(wp, id_p, id_s)
     best_len = jnp.where(wp, len_p, len_s)
     return best_id, best_len
