@@ -329,7 +329,14 @@ class LinearEncoder:
         the reference asserts this, tests/tests.cpp:90-97) lets the
         O(n log n) suffix-array pipeline run over the UNIQUE units only.
         Zipf corpora shrink the sort input by 1-2 orders of magnitude;
-        the id stream is recovered with the native expand."""
+        the id stream is recovered with the native expand.
+
+        The corpus segments in LINEAR_SEG_CHUNK pieces on a worker
+        thread (a cross-chunk DedupeSession keeps occurrence ids global)
+        while the main thread assembles each chunk's first-seen units
+        into device batches and fetches completed ones — segmentation,
+        H2D, device compute, and D2H all overlap, the same windowed
+        pipeline as the word engine's (engine_word.encode_bytes)."""
         from .runtime import loader
 
         if not loader.available():  # pragma: no cover - native always in CI
@@ -338,72 +345,138 @@ class LinearEncoder:
             return self.encode_codepoints(np.asarray(uni.decode_utf8(data)))
         if len(data) == 0:
             return np.zeros(0, dtype=np.int32)
-        with self._stage("host_segment_dedupe", len(data)):
-            occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
-        nu = ustart.shape[0]
-        if nu == 0:
-            return np.zeros(0, dtype=np.int32)
         if self.max_len > self.MAX_SLOT_LEN:
+            with self._stage("host_segment_dedupe", len(data)):
+                occ, ustart, ulen, ucplen = loader.segment_dedupe(data)
+            if ustart.shape[0] == 0:
+                return np.zeros(0, dtype=np.int32)
             return self._encode_units_scalar(data, occ, ustart, ulen, ucplen)
 
-        # Join unique units with single spaces (natively, one pass);
-        # batch so each joined batch fits MAX_TEXT_BATCH.  Unit u+k of a
-        # batch occupies [csum[u+k]-csum[u], ...+ucplen[u+k]).  Batch
-        # bounds come from one searchsorted over the cplen prefix sums.
-        csum = np.zeros(nu + 1, dtype=np.int64)
-        np.cumsum(ucplen.astype(np.int64) + 1, out=csum[1:])
-        bounds = [0]
-        u = 0
-        while u < nu:
-            v = int(
-                np.searchsorted(csum, csum[u] + self.MAX_TEXT_BATCH, side="right")
-            ) - 1
-            v = min(max(v, u + 1), nu)
-            bounds.append(v)
-            u = v
+        from collections import deque
 
-        # Pipeline: a worker thread joins + dense-remaps + dispatches
-        # batch k+1 while the main thread fetches batch k (jax dispatch
-        # is async; ctypes releases the GIL) — the same windowed overlap
-        # as the word engine's chunk pipeline (engine_word.encode_bytes).
-        counts_u = np.zeros(nu, dtype=np.int64)
-        offsets = np.zeros(nu + 1, dtype=np.int64)
-        flats: list[np.ndarray] = []
+        from .core.unicode import find_space_cut
 
-        def finish(state) -> None:
-            u, v, handle = state
-            with self._stage("device_fetch"):
-                ids, positions = self._fetch_batch(handle)
-            # Attribute each emitted id to its unit (positions ascend).
-            cstart = csum[u : v + 1] - csum[u]
-            unit_of = np.searchsorted(cstart, positions, side="right") - 1
-            counts_u[u:v] = np.bincount(unit_of, minlength=v - u)
-            flats.append(ids)
+        n = len(data)
+        chunks = []
+        begin = 0
+        while begin < n:
+            end = min(n, begin + self.LINEAR_SEG_CHUNK)
+            if end < n:
+                cut = find_space_cut(data, end)
+                end = cut if cut >= 0 else n
+            chunks.append(data[begin:end])
+            begin = end
 
         if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
 
             self._executor = ThreadPoolExecutor(max_workers=1)
-        from collections import deque
 
-        window: deque = deque()
-        try:
-            for u, v in zip(bounds[:-1], bounds[1:]):
-                window.append(
-                    self._executor.submit(
-                        self._prepare_batch, data, ustart, ulen, csum, u, v
+        session = loader.DedupeSession()
+        occ_parts: list[np.ndarray] = []
+        # Pending first-seen units, per segmented piece:
+        # [chunk_bytes, nstart, nlen, ncplen, csum(cplen+1), used_ptr].
+        pieces: list[list] = []
+        pend_cps = 0  # total (cplen + 1) of unconsumed units
+        batch_counts: list[np.ndarray] = []  # uid-consecutive batch order
+        flats: list[np.ndarray] = []
+        window: deque = deque()  # (handle, cstart int64[batch_units + 1])
+
+        def dispatch_one() -> None:
+            """Assemble <= MAX_TEXT_BATCH codepoints of pending units
+            (earliest uids first — across pieces) into one device batch."""
+            nonlocal pend_cps
+            budget = self.MAX_TEXT_BATCH
+            parts: list[np.ndarray] = []
+            ucls: list[np.ndarray] = []
+            got = 0
+            for p in pieces:
+                pb, ns, nl, ncl, cs, used = p
+                nu_p = ns.shape[0]
+                if used >= nu_p or got >= budget:
+                    continue
+                u1 = int(
+                    np.searchsorted(cs, cs[used] + (budget - got), side="right")
+                ) - 1
+                u1 = min(max(u1, used + 1), nu_p)
+                cap = int(cs[u1] - cs[used] - 1)
+                with self._stage("host_join"):
+                    parts.append(
+                        loader.join_units_cps(pb, ns, nl, used, u1, cap)
                     )
+                ucls.append(ncl[used:u1].astype(np.int64))
+                got += int(cs[u1] - cs[used])
+                p[5] = u1
+                if got >= budget:
+                    break
+            pend_cps -= got
+            if not parts:
+                return
+            if len(parts) == 1:
+                cps = parts[0]
+            else:  # single space between pieces (units never touch)
+                sep = np.full(1, 32, dtype=parts[0].dtype)
+                joined: list[np.ndarray] = []
+                for i, part in enumerate(parts):
+                    if i:
+                        joined.append(sep)
+                    joined.append(part)
+                cps = np.concatenate(joined)
+            ucl_b = np.concatenate(ucls)
+            cstart = np.zeros(ucl_b.shape[0] + 1, dtype=np.int64)
+            np.cumsum(ucl_b + 1, out=cstart[1:])
+            with self._stage("device_dispatch"):
+                handle = self._dispatch_batch(cps)
+            window.append((handle, cstart))
+            if len(window) > self.PIPELINE_WINDOW:
+                finish_one()
+
+        def finish_one() -> None:
+            handle, cstart = window.popleft()
+            with self._stage("device_fetch"):
+                ids, positions = self._fetch_batch(handle)
+            # Attribute each emitted id to its unit (positions ascend).
+            unit_of = np.searchsorted(cstart[:-1], positions, side="right") - 1
+            batch_counts.append(
+                np.bincount(unit_of, minlength=cstart.shape[0] - 1).astype(
+                    np.int64
                 )
-                if len(window) >= self.PIPELINE_WINDOW:
-                    finish(window.popleft().result())
+            )
+            flats.append(np.asarray(ids, dtype=np.int32))
+
+        def seg_chunk(chunk: bytes):
+            with self._stage("host_segment_dedupe", len(chunk)):
+                return session.segment(chunk)
+
+        try:
+            seg_futs = [self._executor.submit(seg_chunk, c) for c in chunks]
+            for fut, chunk in zip(seg_futs, chunks):
+                occ_k, ns, nl, ncl = fut.result()
+                if occ_k.shape[0]:
+                    occ_parts.append(occ_k)
+                if ns.shape[0]:
+                    cs = np.zeros(ns.shape[0] + 1, dtype=np.int64)
+                    np.cumsum(ncl.astype(np.int64) + 1, out=cs[1:])
+                    pieces.append([chunk, ns, nl, ncl, cs, 0])
+                    pend_cps += int(cs[-1])
+                while pend_cps >= self.MAX_TEXT_BATCH:
+                    dispatch_one()
+            while pend_cps > 0:
+                dispatch_one()
             while window:
-                finish(window.popleft().result())
+                finish_one()
         finally:
-            for f in window:
-                try:
-                    f.result()
-                except Exception:
-                    pass
+            session.close()
+
+        if not occ_parts:
+            return np.zeros(0, dtype=np.int32)
+        occ = (
+            occ_parts[0] if len(occ_parts) == 1 else np.concatenate(occ_parts)
+        )
+        counts_u = (
+            np.concatenate(batch_counts) if batch_counts else np.zeros(0, np.int64)
+        )
+        offsets = np.zeros(counts_u.shape[0] + 1, dtype=np.int64)
         np.cumsum(counts_u, out=offsets[1:])
         tok_flat = np.concatenate(flats) if flats else np.zeros(0, np.int32)
         with self._stage("host_expand"):
@@ -411,17 +484,7 @@ class LinearEncoder:
         return out if out is not None else np.zeros(0, np.int32)
 
     PIPELINE_WINDOW = 3  # max batches in flight (bounds host + HBM use)
-
-    def _prepare_batch(self, data, ustart, ulen, csum, u: int, v: int):
-        """Host join + device dispatch for units [u, v) (worker thread)."""
-        from .runtime import loader
-
-        cap = int(csum[v] - csum[u] - 1)
-        with self._stage("host_join"):
-            cps = loader.join_units_cps(data, ustart, ulen, u, v, cap)
-        with self._stage("device_dispatch"):
-            handle = self._dispatch_batch(cps)
-        return (u, v, handle)
+    LINEAR_SEG_CHUNK = 3_000_000  # segmentation piece size (bytes)
 
     # Compact-output capacity as a fraction of batch codepoints.  Emitted
     # ids never exceed the batch's codepoint count (every id consumes at
