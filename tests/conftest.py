@@ -18,6 +18,36 @@ import jax
 # run on the virtual 8-device CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compile cache for the TEST tier only.  The package
+# deliberately leaves the cache off on the CPU backend (wordpiece_tpu/
+# __init__.py: XLA:CPU stamps tuning pseudo-features into AOT entries and
+# warns about a machine-feature mismatch on every load) — but the test
+# suite's XLA:CPU compiles (sort programs, 8-device mesh programs) cost
+# minutes per run, so here the trade flips: enable the cache in a
+# machine-keyed directory (utils/cache_key.py guards the cross-machine
+# SIGILL hazard) and silence the known-noisy mismatch warning.
+if not os.environ.get("WORDPIECE_TPU_NO_COMPILE_CACHE"):
+    import logging
+
+    from wordpiece_tpu.utils.cache_key import cache_dir as _mk_cache_dir
+
+    _cpu_cache = _mk_cache_dir(
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "wordpiece_tpu_xla_cpu_tests"
+        )
+    )
+    jax.config.update("jax_compilation_cache_dir", _cpu_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    class _DropFeatureMismatch(logging.Filter):
+        def filter(self, record):  # pragma: no cover - log plumbing
+            return "machine feature" not in record.getMessage()
+
+    logging.getLogger("jax._src.compilation_cache").addFilter(
+        _DropFeatureMismatch()
+    )
+    logging.getLogger("jax._src.compiler").addFilter(_DropFeatureMismatch())
+
 import numpy as np
 import pytest
 
