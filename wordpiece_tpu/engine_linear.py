@@ -491,8 +491,10 @@ class LinearEncoder:
     # least one codepoint; a rolled-back word emits ONE UNK), so the cap
     # never needs to exceed n.  The ratio adapts upward per encoder when
     # a corpus emits denser id streams (CJK singles), trading a few extra
-    # D2H bytes for avoiding the double-execution overflow path.
-    _cap_ratio = 0.55
+    # D2H bytes for avoiding the double-execution overflow path.  The
+    # initial value sits just above en/ru unique-batch density (~0.26);
+    # denser corpora overflow once on their first batch and adapt.
+    _cap_ratio = 0.32
 
     def _out_cap(self, n: int) -> int:
         want = int(n * self._cap_ratio) + 4096
