@@ -71,7 +71,8 @@ def main() -> int:
     nu = us.shape[0]
     csum = np.zeros(nu + 1, dtype=np.int64)
     np.cumsum(ucl.astype(np.int64) + 1, out=csum[1:])
-    v = int(np.searchsorted(csum, csum[0] + enc.MAX_TEXT_BATCH, side="right")) - 1
+    batch_cps = min(enc.LINEAR_BATCH_TARGET, enc.MAX_TEXT_BATCH)
+    v = int(np.searchsorted(csum, csum[0] + batch_cps, side="right")) - 1
     v = min(max(v, 1), nu)
     cap = int(csum[v] - csum[0] - 1)
     cps = loader.join_units_cps(corpus, us, ul, 0, v, cap)

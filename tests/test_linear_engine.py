@@ -181,3 +181,26 @@ def test_linear_compact_overflow_refetch():
     assert enc._cap_ratio > 0.01, "observed density must adapt the ratio"
     oracle = loader.VocabHandle(vocab).encode(uni.decode_utf8(data))
     assert np.array_equal(got, oracle)
+
+
+def test_linear_streaming_multi_piece_batches():
+    """Batches spanning multiple segmentation pieces (LINEAR_SEG_CHUNK)
+    must join across pieces with a single separating space and keep
+    uid-order attribution — the >=3 MB streaming path, forced small."""
+    from wordpiece_tpu.core import unicode as uni
+    from wordpiece_tpu.core.vocab import parse_vocab as _pv
+    from wordpiece_tpu.engine_linear import LinearEncoder
+    from wordpiece_tpu.runtime import loader
+
+    if not loader.available():
+        pytest.skip("native runtime required")
+    from wordpiece_tpu.bench.corpus import make_corpus, make_vocab
+
+    data = make_corpus(200_000)
+    vocab = _pv(make_vocab(data, vocab_size=2000))
+    enc = LinearEncoder(vocab)
+    enc.LINEAR_SEG_CHUNK = 10_000  # ~20 pieces
+    enc.LINEAR_BATCH_TARGET = 3_000  # many batches, most spanning pieces
+    got = enc.encode_bytes(data)
+    oracle = loader.VocabHandle(vocab).encode(uni.decode_utf8(data))
+    assert np.array_equal(got, oracle)
