@@ -213,7 +213,11 @@ def main() -> int:
                 )
                 continue
             try:
-                results.append(run_one(engine, lang, args.size, max(2, args.iters // 2), args.verbose, args.vocab))
+                # min-of-3: a single multi-second tunnel stall inside one
+                # timed iteration must not cap the row (observed: a
+                # stall spanning both of a 2-iteration run's encodes
+                # printed 0.27x for a healthy engine).
+                results.append(run_one(engine, lang, args.size, max(3, args.iters // 2), args.verbose, args.vocab))
             except Exception as e:  # pragma: no cover - diagnostics only
                 print(f"# secondary {engine}/{lang} failed: {e}", file=sys.stderr)
 
